@@ -1,0 +1,39 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the JAX analogue of the reference's gloo-CPU fallback
+(``benchmarks/compute_embeddings_simclr.py:127,341-343``) — the only way the
+reference could run without GPUs.  Here every test sees 8 XLA host devices so
+multi-chip sharding logic is exercised for real (SURVEY.md §4).
+
+Must set the env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def frame_corpus(tmp_path_factory):
+    """A tiny synthetic JPG frame corpus shaped like the HOMEview layout:
+    ``root/<subjdir>/<frame>.jpg``.  Two subjects, 60 frames each, 32x32."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("jpg_root")
+    rng = np.random.default_rng(42)
+    for subj in ["008MS", "009SS"]:
+        d = root / subj
+        d.mkdir()
+        for i in range(60):
+            arr = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"frame_{i:05d}.jpg", quality=90)
+    return str(root)

@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from bvc_tpu.utils import AverageMeter, CSVLogger, RunId, TrainConfig
+from bvc_tpu.utils.logging import grad_logger
+
+
+class TestRunId:
+    def test_roundtrip(self):
+        rid = RunId("dev", 2, "g1", "default", 1, 246)
+        assert str(rid) == "dev_2_g1_default_1_246"
+        assert RunId.parse(str(rid)) == rid
+
+    def test_from_checkpoint_path(self):
+        rid = RunId.from_checkpoint_path("/x/model_adev_1_g2_default_0_246.pth.tar")
+        assert rid == RunId("adev", 1, "g2", "default", 0, 246)
+        rid2 = RunId.from_checkpoint_path("model_dev_3_g2_static_2_101.ckpt")
+        assert rid2.condition == "static" and rid2.stage == 3
+
+    def test_degenerate_untrained(self):
+        rid = RunId.parse("na")
+        assert rid.curriculum == "untrained" and rid.train_group == "na"
+
+    def test_train_groups_seen_matches_notebook(self):
+        assert RunId("dev", 1, "g0", "d", 0, 0).train_groups_seen() == "g0"
+        assert RunId("dev", 3, "g2", "d", 0, 0).train_groups_seen() == "g0g1g2"
+        assert RunId("adev", 2, "g1", "d", 0, 0).train_groups_seen() == "g2g1"
+        assert RunId("rnd", 2, "gr", "d", 0, 0).train_groups_seen() == "na"
+
+
+class TestCSVLogger:
+    def test_schema_and_rows(self, tmp_path):
+        path = tmp_path / "log.csv"
+        log = CSVLogger(str(path), ("%d", "epoch"), ("%.5f", "loss"), ("%.4e", "grad"))
+        log.log(1, 0.123456, 3.14e-5)
+        log.log(2, np.float32(0.5), 1e-9)
+        lines = path.read_text().strip().split("\n")
+        assert lines[0] == "epoch,loss,grad"
+        assert lines[1] == "1,0.12346,3.1400e-05"
+        assert lines[2].startswith("2,0.50000,")
+
+
+class TestAverageMeter:
+    def test_running_stats(self):
+        m = AverageMeter()
+        for v in [1.0, 2.0, 3.0]:
+            m.update(v)
+        assert m.avg == pytest.approx(2.0)
+        assert m.max == 3.0 and m.min == 1.0 and m.count == 3
+
+    def test_weighted(self):
+        m = AverageMeter()
+        m.update(1.0, n=3)
+        m.update(5.0, n=1)
+        assert m.avg == pytest.approx(2.0)
+
+
+class TestGradLogger:
+    def test_norms_from_pytree(self):
+        grads = {
+            "a": {"kernel": np.ones((4, 4)), "bias": np.ones((4,))},
+            "b": {"kernel": np.full((2, 2), 3.0)},
+        }
+        stats = grad_logger(grads)
+        assert stats.first_layer == pytest.approx(4.0)  # ||ones(4,4)||
+        assert stats.last_layer == pytest.approx(6.0)  # ||3*ones(2,2)||
+        assert stats.mean == pytest.approx(5.0)
+
+    def test_probes(self):
+        grads = {"q": np.ones((2, 2))}
+        stats = grad_logger(grads, probes={"enc_first_layer": lambda g: np.linalg.norm(g["q"])})
+        assert stats.enc_first_layer == pytest.approx(2.0)
+
+
+class TestTrainConfig:
+    def test_yaml_roundtrip(self, tmp_path):
+        cfg = TrainConfig(run_id="dev_1_g0_default_0_0", seed=3)
+        cfg.optim.lr = 0.03
+        cfg.data.augs = "cg"
+        p = tmp_path / "params.yaml"
+        cfg.dump_yaml(p)
+        import yaml
+
+        loaded = TrainConfig.from_dict(yaml.safe_load(p.read_text()))
+        assert loaded.optim.lr == 0.03
+        assert loaded.data.augs == "cg"
+        assert loaded.mask.enc_mask_scale == (0.85, 1.0)
+
+    def test_derived_shapes(self):
+        cfg = TrainConfig()
+        assert cfg.model.seq_len == 8 * 14 * 14  # 1568 tokens (SURVEY §5)
+        assert cfg.data.segment_size == 54000
