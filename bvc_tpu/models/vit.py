@@ -1,0 +1,168 @@
+"""Functional transformer core shared by all three model families.
+
+Redesign of the reference's ``VisionTransformer`` /
+``VisionTransformerPredictor`` (``pretraining/predictive/vision_transformer.py``)
+and of HF's VideoMAE encoder/decoder stacks, as pure functions over explicit
+parameter pytrees:
+
+- **Stacked layers + ``lax.scan``**: the D transformer blocks are stored as
+  one pytree whose leaves carry a leading ``[depth, ...]`` axis and executed
+  with ``lax.scan``.  XLA compiles ONE block and iterates it — compile time
+  stays flat in depth and the step is trivially shardable (the TP partition
+  specs in :mod:`bvc_tpu.parallel.sharding` shard the stacked leaves).
+- **bf16 compute, f32 state**: parameters live in f32; activations run in
+  the configured compute dtype; LayerNorm statistics and softmax in f32.
+  This subsumes the reference's ``torch.cuda.amp.autocast(bfloat16)`` +
+  GradScaler (the scaler is a no-op for bf16 and is dropped).
+- **No dropout paths**: every reference config runs drop_rate =
+  attn_drop = drop_path = 0.0 (SURVEY.md §2.4), so the hot path omits them;
+  stochastic depth can be added at the call site if ever needed.
+
+Block math matches ``Block.forward`` (``vision_transformer.py:225-231``):
+pre-LN, fused-qkv attention, exact-erf GELU MLP, residual adds.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from bvc_tpu.models.initializers import (
+    depth_rescale_factor,
+    layernorm_params,
+    linear_params,
+    trunc_normal,
+)
+from bvc_tpu.ops.attention import multi_head_attention
+
+
+def layer_norm(x: jnp.ndarray, params: dict, eps: float = 1e-6) -> jnp.ndarray:
+    """LayerNorm with f32 statistics regardless of compute dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"] + params["bias"]
+    return y.astype(x.dtype)
+
+
+def init_block(key, dim: int, mlp_ratio: float = 4.0, qkv_bias: bool = True,
+               init_std: float = 0.02) -> dict:
+    k_qkv, k_proj, k_fc1, k_fc2 = jax.random.split(key, 4)
+    hidden = int(dim * mlp_ratio)
+    return {
+        "ln1": layernorm_params(dim),
+        "attn": {
+            "qkv": linear_params(k_qkv, dim, 3 * dim, init_std, bias=qkv_bias),
+            "proj": linear_params(k_proj, dim, dim, init_std),
+        },
+        "ln2": layernorm_params(dim),
+        "mlp": {
+            "fc1": linear_params(k_fc1, dim, hidden, init_std),
+            "fc2": linear_params(k_fc2, hidden, dim, init_std, bias=True),
+        },
+    }
+
+
+def init_blocks(
+    key,
+    depth: int,
+    dim: int,
+    mlp_ratio: float = 4.0,
+    qkv_bias: bool = True,
+    init_std: float = 0.02,
+    depth_rescale: bool = False,
+) -> dict:
+    """Stacked block params with leading ``[depth]`` axis on every leaf.
+
+    ``depth_rescale=True`` divides attn-proj / mlp-fc2 kernels of layer i
+    by sqrt(2i) (reference ``fix_init_weight``).  Note the reference's JEPA
+    trainer immediately re-initialises every Linear afterwards
+    (``pretrain_jepa.py:107-121``), wiping the rescale — so parity configs
+    default to False.
+    """
+    keys = jax.random.split(key, depth)
+    blocks = [init_block(k, dim, mlp_ratio, qkv_bias, init_std) for k in keys]
+    if depth_rescale:
+        for i, b in enumerate(blocks):
+            f = depth_rescale_factor(i + 1)
+            b["attn"]["proj"]["kernel"] = b["attn"]["proj"]["kernel"] * f
+            b["mlp"]["fc2"]["kernel"] = b["mlp"]["fc2"]["kernel"] * f
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def _dense(x, p, dtype):
+    out = jnp.dot(x, p["kernel"].astype(dtype), preferred_element_type=dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(dtype)
+    return out
+
+
+def block_apply(params: dict, x: jnp.ndarray, num_heads: int,
+                ln_eps: float = 1e-6, attn_impl: str = "auto") -> jnp.ndarray:
+    """One pre-LN transformer block on ``[B, N, D]``."""
+    B, N, D = x.shape
+    dtype = x.dtype
+    h = layer_norm(x, params["ln1"], ln_eps)
+    qkv = _dense(h, params["attn"]["qkv"], dtype)
+    qkv = qkv.reshape(B, N, 3, num_heads, D // num_heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn_out = multi_head_attention(q, k, v, impl=attn_impl)
+    attn_out = _dense(attn_out.reshape(B, N, D), params["attn"]["proj"], dtype)
+    x = x + attn_out
+
+    h = layer_norm(x, params["ln2"], ln_eps)
+    h = _dense(h, params["mlp"]["fc1"], dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _dense(h, params["mlp"]["fc2"], dtype)
+    return x + h
+
+
+def run_blocks(
+    stacked: dict,
+    x: jnp.ndarray,
+    num_heads: int,
+    ln_eps: float = 1e-6,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Scan the stacked blocks over ``x``."""
+
+    def body(carry, layer_params):
+        out = block_apply(layer_params, carry, num_heads, ln_eps, attn_impl)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Video/image ViT encoder (JEPA family)
+# --------------------------------------------------------------------------
+
+VIT_DIMS: dict[str, tuple[int, int, int]] = {
+    # name: (embed_dim, depth, num_heads) — reference factories
+    # vision_transformer.py:551-600
+    "vit_tiny": (192, 12, 3),
+    "vit_small": (384, 12, 6),
+    "vit_base": (768, 12, 12),
+    "vit_large": (1024, 24, 16),
+    "vit_huge": (1280, 32, 16),
+    "vit_giant": (1408, 40, 16),
+}
+
+VIT_EMBED_DIMS = {k: v[0] for k, v in VIT_DIMS.items()}
+
+
+def mask_gather(x: jnp.ndarray, keep_indices: jnp.ndarray) -> jnp.ndarray:
+    """Gather kept patch rows: ``[B, N, D] x [B, K] → [B, K, D]``.
+
+    Functional analogue of the reference's ``apply_masks``
+    (``predictive/mask.py:58-67``) for a single mask; multi-mask callers
+    vmap/concat at the call site.
+    """
+    return jnp.take_along_axis(x, keep_indices[..., None], axis=1)

@@ -1,0 +1,51 @@
+"""Multi-head attention for the ViT stacks.
+
+The reference materialises the full ``[B, h, N, N]`` attention matrix in
+eager torch (``predictive/vision_transformer.py:198-210``).  Here the
+default path is XLA attention (einsum + softmax — XLA fuses the softmax
+chain and tiles the matmuls onto the MXU; at the framework's native
+sequence lengths, 1568 tokens x 64 head-dim, this is already
+compute-bound), and a Pallas flash-attention kernel
+(:mod:`bvc_tpu.ops.flash_attention`) is used on TPU for long sequences
+where the O(N^2) HBM traffic of the naive path starts to dominate.
+
+Interface is functional: caller supplies already-projected q, k, v of
+shape ``[B, N, h, d]``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=q.dtype)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Scaled dot-product attention over ``[B, N, h, d]`` tensors.
+
+    ``impl``: 'auto' | 'xla' | 'flash'.  'auto' picks flash on TPU when
+    the sequence is long enough to benefit and divisible into lane-aligned
+    blocks, else XLA.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = q.shape[1]
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "flash" if (on_tpu and n >= 1024 and n % 128 == 0) else "xla"
+    if impl == "flash":
+        from bvc_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)

@@ -1,0 +1,65 @@
+"""Cross-host collectives used outside the jitted step.
+
+Inside the jitted train step no explicit collectives are needed — the loss
+is a global mean over the sharded batch, so XLA inserts the reductions the
+reference expressed manually (custom autograd ``AllReduce`` at
+``generative/ddputils.py:53-68`` and DDP grad buckets).
+
+These helpers cover the host-side cases:
+
+- ``all_gather_objects``: eval-result aggregation, replacing
+  ``dist.all_gather_object`` (``benchmarks/compute_embeddings_jepa.py:230,253``).
+- ``sync_hosts``: a named barrier around checkpoint IO, replacing the
+  per-epoch ``dist.barrier()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def all_gather_objects(data: dict[str, Any]) -> list[dict[str, Any]]:
+    """Gather per-host result dicts onto every host.
+
+    For single-process runs returns ``[data]``.  Multi-host uses
+    ``multihost_utils.process_allgather`` on the array leaves and plain
+    broadcast agreement on list-of-strings (fnames) via size-prefixed
+    uint8 arrays.
+    """
+    if jax.process_count() == 1:
+        return [data]
+    from jax.experimental import multihost_utils
+
+    out: list[dict[str, Any]] = [dict() for _ in range(jax.process_count())]
+    for key, val in data.items():
+        if isinstance(val, (list, tuple)) and val and isinstance(val[0], str):
+            blob = "\x00".join(val).encode("utf-8")
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            # pad to a common length across hosts
+            n = int(
+                multihost_utils.process_allgather(np.asarray([arr.size])).max()
+            )
+            padded = np.zeros(n + 1, np.uint8)
+            padded[: arr.size] = arr
+            gathered = multihost_utils.process_allgather(padded)
+            for i in range(jax.process_count()):
+                raw = bytes(gathered[i]).rstrip(b"\x00")
+                out[i][key] = raw.decode("utf-8").split("\x00") if raw else []
+        else:
+            arr = np.asarray(val)
+            gathered = multihost_utils.process_allgather(arr)
+            for i in range(jax.process_count()):
+                out[i][key] = gathered[i]
+    return out
+
+
+def sync_hosts(name: str = "barrier") -> None:
+    """Barrier across hosts (no-op single-host)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

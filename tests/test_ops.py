@@ -1,0 +1,82 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bvc_tpu.ops.attention import multi_head_attention, _xla_attention
+from bvc_tpu.ops.flash_attention import flash_attention
+from bvc_tpu.ops.patchify import patchify_pixels, tubelet_patchify
+
+
+class TestPatchify:
+    def test_matches_strided_conv(self):
+        """Reshape+matmul patchify must equal Conv3d with stride=kernel —
+        the op it re-expresses (reference vision_transformer.py:250-255)."""
+        rng = np.random.default_rng(0)
+        B, T, H, W, C = 2, 4, 8, 8, 3
+        ts, p, D = 2, 4, 16
+        video = rng.standard_normal((B, T, H, W, C)).astype(np.float32)
+        kernel_flat = rng.standard_normal((C * ts * p * p, D)).astype(np.float32)
+        bias = rng.standard_normal((D,)).astype(np.float32)
+
+        out = tubelet_patchify(jnp.array(video), jnp.array(kernel_flat),
+                               jnp.array(bias), ts, p, dtype=jnp.float32)
+
+        # independent check via lax conv: NCDHW x OIDHW
+        vid_ncdhw = jnp.array(video).transpose(0, 4, 1, 2, 3)
+        w_oidhw = jnp.array(kernel_flat).T.reshape(D, C, ts, p, p)
+        conv = jax.lax.conv_general_dilated(
+            vid_ncdhw, w_oidhw, window_strides=(ts, p, p), padding="VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        )
+        conv = conv.reshape(B, D, -1).transpose(0, 2, 1) + bias
+        np.testing.assert_allclose(np.asarray(out), np.asarray(conv), rtol=2e-4, atol=2e-4)
+
+    def test_pixel_block_ordering(self):
+        # token order: time-major then row-major spatial
+        T, H, W, C, ts, p = 4, 4, 4, 1, 2, 2
+        video = np.arange(T * H * W * C, dtype=np.float32).reshape(1, T, H, W, C)
+        blocks = np.asarray(patchify_pixels(jnp.array(video), ts, p))
+        assert blocks.shape == (1, (T // ts) * (H // p) * (W // p), ts * p * p)
+        # first token = frames 0-1, rows 0-1, cols 0-1; feature order (c,dt,dh,dw)
+        expected0 = [video[0, dt, dh, dw, 0] for dt in range(2) for dh in range(2) for dw in range(2)]
+        np.testing.assert_allclose(blocks[0, 0], expected0)
+        # token 1 is the next spatial patch (same time slab)
+        expected1 = [video[0, dt, dh, dw + 2, 0] for dt in range(2) for dh in range(2) for dw in range(2)]
+        np.testing.assert_allclose(blocks[0, 1], expected1)
+
+    def test_roundtrip_shapes_vitb(self):
+        video = jnp.zeros((1, 16, 224, 224, 3))
+        blocks = patchify_pixels(video, 2, 16)
+        assert blocks.shape == (1, 1568, 1536)
+
+
+class TestAttention:
+    def _qkv(self, B=2, N=64, h=4, d=8, seed=0):
+        rng = np.random.default_rng(seed)
+        return [jnp.array(rng.standard_normal((B, N, h, d)), dtype=jnp.float32)
+                for _ in range(3)]
+
+    def test_xla_matches_naive_softmax(self):
+        q, k, v = self._qkv()
+        out = multi_head_attention(q, k, v, impl="xla")
+        # independent naive computation
+        scale = q.shape[-1] ** -0.5
+        logits = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        m = logits.max(-1, keepdims=True)
+        p = np.exp(logits - m)
+        p /= p.sum(-1, keepdims=True)
+        expected = np.einsum("bhqk,bkhd->bqhd", p, v)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+    def test_flash_matches_xla_interpret(self):
+        q, k, v = self._qkv(B=1, N=128, h=2, d=16)
+        ref = multi_head_attention(q, k, v, impl="xla")
+        out = flash_attention(q, k, v, block_q=32, block_k=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_flash_nondivisible_blocks_fall_back_to_divisors(self):
+        q, k, v = self._qkv(B=1, N=96, h=1, d=8)
+        ref = multi_head_attention(q, k, v, impl="xla")
+        out = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,81 @@
+"""Golden tests for positional encodings.
+
+Expected values were generated from the reference implementations
+(``pretraining/predictive/vision_transformer.py`` ``PositionalEncoding3D`` /
+``get_2d_sincos_pos_embed`` and HF transformers
+``get_sinusoid_encoding_table``) — values only; implementations here are
+independent.
+"""
+
+import numpy as np
+import pytest
+
+from bvc_tpu.models.posenc import positional_encoding_3d, sincos_2d, sinusoid_table_1d
+
+
+class TestPositionalEncoding3D:
+    def test_small_grid_matches_reference(self):
+        out = positional_encoding_3d(2, 3, 4, 16)
+        assert out.shape == (24, 16)
+        assert out.sum() == pytest.approx(187.005005, abs=1e-3)
+        np.testing.assert_allclose(
+            out[0], [0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            out[7],
+            [0, 1, 0, 1, 0, 1, 0.841471, 0.540302, 0.046399, 0.998923,
+             0.002154, 0.999998, 0.14112, -0.989992, 0.138798, 0.990321],
+            atol=1e-5,
+        )
+
+    def test_vitb_grid_matches_reference(self):
+        out = positional_encoding_3d(8, 14, 14, 768)
+        assert out.shape == (1568, 768)
+        assert out.sum() == pytest.approx(566974.875, rel=1e-5)
+        assert np.abs(out).mean() == pytest.approx(0.555650, abs=1e-5)
+        np.testing.assert_allclose(out[100, :6], [0, 1, 0, 1, 0, 1], atol=1e-6)
+        np.testing.assert_allclose(
+            out[1000, 250:256],
+            [6.204688e-4, 0.9999998, 5.773909e-4, 0.9999998, 5.373039e-4, 1.0],
+            atol=1e-6,
+        )
+
+    def test_channel_block_structure(self):
+        # 3 equal channel blocks of ceil(C/6)*2 for t/y/x; x block truncated.
+        out = positional_encoding_3d(2, 2, 2, 12)
+        # t block = channels 0:4 — identical for all (y, x) at fixed t
+        t0 = out.reshape(2, 2, 2, 12)
+        assert np.allclose(t0[0, :, :, :4], t0[0, 0, 0, :4])
+        assert not np.allclose(t0[0, 0, 0, :4], t0[1, 0, 0, :4])
+
+
+class TestHFSinusoid:
+    def test_matches_transformers_table(self):
+        t = sinusoid_table_1d(10, 8)
+        assert t.sum() == pytest.approx(35.667065, abs=1e-4)
+        np.testing.assert_allclose(
+            t[3],
+            [0.14112, -0.989992, 0.29552, 0.955337, 0.029996, 0.99955, 0.003, 0.999996],
+            atol=1e-5,
+        )
+
+    def test_even_sin_odd_cos(self):
+        t = sinusoid_table_1d(4, 6)
+        np.testing.assert_allclose(t[0, 0::2], 0.0, atol=1e-7)
+        np.testing.assert_allclose(t[0, 1::2], 1.0, atol=1e-7)
+
+
+class TestSincos2D:
+    def test_matches_reference(self):
+        g = sincos_2d(8, 3)
+        assert g.shape == (9, 8)
+        np.testing.assert_allclose(
+            g[1],
+            [0.841471, 0.01, 0.540302, 0.99995, 0.0, 0.0, 1.0, 1.0],
+            atol=1e-5,
+        )
+
+    def test_cls_token_row(self):
+        g = sincos_2d(8, 3, cls_token=True)
+        assert g.shape == (10, 8)
+        np.testing.assert_allclose(g[0], 0.0)
