@@ -1,0 +1,168 @@
+"""Jitted SPMD train/eval steps per objective family.
+
+One function of ``(state, batch) → (state, metrics)`` per family, jitted
+over the mesh with explicit shardings.  This single function subsumes what
+the reference spreads over DDP grad hooks, the custom ``AllReduce`` loss
+autograd, the GradScaler, host-side mask sampling, and the EMA loop:
+
+- the loss is a mean over the *global* (data-sharded) batch, so XLA
+  emits the cross-chip grad reduction itself — no explicit collectives;
+- masks are sampled in-step from ``state.rng``;
+- bf16 is the compute dtype inside the model; params/optimizer stay f32
+  (GradScaler is meaningless for bf16 and is dropped — the reference
+  carries one anyway, ``pretrain_videomae.py:197``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bvc_tpu.masks.tube import random_mask, tube_mask
+from bvc_tpu.models import videomae
+from bvc_tpu.parallel.sharding import batch_sharding, param_shardings
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
+
+
+def _tree_shardings(state: TrainState, mesh: Mesh, param_mode: str):
+    """Shardings for the whole TrainState (params rule applied to params,
+    opt state mirrors params where shapes match, scalars replicated)."""
+    p_sh = param_shardings(state.params, mesh, param_mode)
+    rep = NamedSharding(mesh, P())
+
+    # opt_state contains pytrees shaped like params (momentum etc.) plus
+    # scalars; map params-shaped leaves to the params sharding by shape.
+    flat_p, _ = jax.tree_util.tree_flatten(state.params)
+    flat_sh, _ = jax.tree_util.tree_flatten(p_sh)
+    shape_to_sh = {}
+    for leaf, sh in zip(flat_p, flat_sh):
+        shape_to_sh.setdefault((leaf.shape, leaf.dtype), sh)
+
+    def opt_sh(leaf):
+        return shape_to_sh.get((getattr(leaf, "shape", ()), getattr(leaf, "dtype", None)), rep)
+
+    o_sh = jax.tree_util.tree_map(opt_sh, state.opt_state)
+    t_sh = (
+        param_shardings(state.target_params, mesh, param_mode)
+        if state.target_params is not None
+        else None
+    )
+    e_sh = (
+        jax.tree_util.tree_map(lambda _: rep, state.extra)
+        if state.extra is not None
+        else None
+    )
+    return TrainState(step=rep, params=p_sh, opt_state=o_sh, rng=rep,
+                      target_params=t_sh, extra=e_sh)
+
+
+def make_videomae_train_step(
+    mesh: Mesh,
+    model_cfg: ModelConfig,
+    mask_cfg: MaskConfig,
+    tx: optax.GradientTransformation,
+    param_mode: str = "replicated",
+) -> Callable[[TrainState, jnp.ndarray], tuple[TrainState, dict]]:
+    """Tube-masked reconstruction step over ``video [B,T,H,W,C]``.
+
+    Replaces the hot loop of ``generative/pretrain_videomae.py:289-357``.
+    """
+    grid = (
+        model_cfg.num_time_steps,
+        model_cfg.image_size // model_cfg.patch_size,
+        model_cfg.image_size // model_cfg.patch_size,
+    )
+    n_space = grid[1] * grid[2]
+    if mask_cfg.sampler == "tube":
+        n_masked = int(mask_cfg.mask_ratio * n_space) * grid[0]
+        sampler = functools.partial(tube_mask, grid=grid, mask_ratio=mask_cfg.mask_ratio)
+    else:
+        n_masked = int(mask_cfg.mask_ratio * grid[0] * n_space)
+        sampler = functools.partial(random_mask, grid=grid, mask_ratio=mask_cfg.mask_ratio)
+    num_visible = model_cfg.seq_len - n_masked
+
+    def step(state: TrainState, video: jnp.ndarray):
+        rng, mask_rng = jax.random.split(state.rng)
+        mask = sampler(mask_rng, video.shape[0])
+
+        def loss_fn(params):
+            loss, metrics = videomae.pretrain_loss(
+                params, video, mask, model_cfg, num_visible
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                rng=rng,
+                target_params=state.target_params,
+                extra=state.extra,
+            ),
+            metrics,
+        )
+
+    def eval_step(state: TrainState, video: jnp.ndarray):
+        mask = sampler(jax.random.fold_in(state.rng, 0), video.shape[0])
+        loss, metrics = videomae.pretrain_loss(
+            state.params, video, mask, model_cfg, num_visible
+        )
+        return metrics
+
+    return _jit_over_mesh(step, eval_step, mesh, param_mode)
+
+
+def _jit_over_mesh(step, eval_step, mesh: Mesh, param_mode: str):
+    """Wrap (train, eval) step fns with sharding-aware jit.
+
+    Shardings are resolved lazily on first call from the concrete state.
+    """
+    b_sh = batch_sharding(mesh)
+    cache: dict[str, Any] = {}
+
+    def train(state: TrainState, batch):
+        if "jit" not in cache:
+            st_sh = _tree_shardings(state, mesh, param_mode)
+            cache["st_sh"] = st_sh
+            cache["jit"] = jax.jit(
+                step,
+                in_shardings=(st_sh, b_sh),
+                out_shardings=(st_sh, NamedSharding(mesh, P())),
+                donate_argnums=(0,),
+            )
+            cache["ejit"] = jax.jit(
+                eval_step, in_shardings=(st_sh, b_sh),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+        return cache["jit"](state, batch)
+
+    def evaluate(state: TrainState, batch):
+        if "ejit" not in cache:
+            st_sh = _tree_shardings(state, mesh, param_mode)
+            cache["st_sh"] = st_sh
+            cache["ejit"] = jax.jit(
+                eval_step, in_shardings=(st_sh, b_sh),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+        return cache["ejit"](state, batch)
+
+    train.eval_step = evaluate  # type: ignore[attr-defined]
+    train.shardings = lambda: cache.get("st_sh")  # type: ignore[attr-defined]
+    return train
+
+
+def place_state(state: TrainState, mesh: Mesh, param_mode: str = "replicated") -> TrainState:
+    """Device-put a host-built TrainState with the step's shardings."""
+    return jax.device_put(state, _tree_shardings(state, mesh, param_mode))

@@ -1,0 +1,172 @@
+"""VideoMAE model family: masks, forward, loss, training step, checkpoint."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bvc_tpu.masks.tube import mask_partition, random_mask, tube_mask
+from bvc_tpu.models import videomae
+from bvc_tpu.parallel import make_mesh, shard_batch
+from bvc_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_videomae_train_step, place_state
+from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        image_size=32, patch_size=8, num_frames=4, tubelet_size=2,
+        hidden_size=32, depth=2, num_heads=4,
+        decoder_hidden_size=16, decoder_depth=1, decoder_num_heads=2,
+        dtype="float32",
+    )
+    defaults.update(kw)
+    return ModelConfig(**defaults)
+
+
+class TestTubeMask:
+    def test_counts_and_tiling(self):
+        grid = (8, 14, 14)
+        mask = tube_mask(jax.random.PRNGKey(0), 4, grid, 0.9)
+        mask = np.asarray(mask)
+        assert mask.shape == (4, 8 * 196)
+        # exactly int(0.9*196)=176 masked per frame (reference mask.py:8)
+        per_frame = mask.reshape(4, 8, 196).sum(-1)
+        assert (per_frame == 176).all()
+        # same spatial pattern across all sheets (the "tube" invariant)
+        sheets = mask.reshape(4, 8, 196)
+        assert (sheets == sheets[:, :1]).all()
+        # patterns differ across batch
+        assert not (sheets[0] == sheets[1]).all()
+
+    def test_random_mask_counts(self):
+        grid = (2, 4, 4)
+        mask = np.asarray(random_mask(jax.random.PRNGKey(1), 3, grid, 0.5))
+        assert (mask.sum(-1) == int(0.5 * 32)).all()
+
+    def test_partition_orders_and_covers(self):
+        mask = tube_mask(jax.random.PRNGKey(0), 2, (2, 4, 4), 0.75)
+        nv = 32 - 2 * int(0.75 * 16)
+        vis, msk = mask_partition(mask, nv)
+        vis, msk = np.asarray(vis), np.asarray(msk)
+        m = np.asarray(mask)
+        for b in range(2):
+            assert sorted(vis[b].tolist() + msk[b].tolist()) == list(range(32))
+            assert (np.diff(vis[b]) > 0).all() and (np.diff(msk[b]) > 0).all()
+            assert not m[b][vis[b]].any() and m[b][msk[b]].all()
+
+
+class TestTargets:
+    def test_norm_pix_per_channel_unbiased(self):
+        cfg = tiny_cfg(norm_pix_loss=True)
+        rng = np.random.default_rng(0)
+        video = rng.standard_normal((1, 4, 32, 32, 3)).astype(np.float32)
+        t = np.asarray(videomae.patch_targets(jnp.array(video), cfg))
+        assert t.shape == (1, 2 * 16, 2 * 8 * 8 * 3)
+        # reconstruct patch 0 channel 0 by hand
+        patch = video[0, 0:2, 0:8, 0:8, :]  # [ts, p, p, C]
+        px = patch.transpose(0, 1, 2, 3).reshape(-1, 3)  # (pixel, channel)
+        expected = (px - px.mean(0)) / (px.std(0, ddof=1) + 1e-6)
+        np.testing.assert_allclose(
+            t[0, 0].reshape(-1, 3), expected, rtol=1e-4, atol=1e-4
+        )
+
+    def test_no_norm_pix_is_raw_pixels(self):
+        cfg = tiny_cfg(norm_pix_loss=False)
+        video = np.arange(4 * 32 * 32 * 3, dtype=np.float32).reshape(1, 4, 32, 32, 3)
+        t = np.asarray(videomae.patch_targets(jnp.array(video), cfg))
+        assert t[0, 0, 0] == video[0, 0, 0, 0, 0]
+
+
+class TestForward:
+    def test_loss_and_shapes(self):
+        cfg = tiny_cfg()
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.array(
+            np.random.default_rng(0).standard_normal((2, 4, 32, 32, 3)), jnp.float32
+        )
+        grid = (cfg.num_time_steps, 4, 4)
+        mask = tube_mask(jax.random.PRNGKey(1), 2, grid, 0.75)
+        nv = cfg.seq_len - 2 * int(0.75 * 16)
+        loss, metrics = videomae.pretrain_loss(params, video, mask, cfg, nv)
+        assert np.isfinite(float(loss))
+        assert float(loss) > 0
+
+    def test_embed_is_layernormed_mean(self):
+        cfg = tiny_cfg()
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.ones((2, 4, 32, 32, 3))
+        emb = np.asarray(videomae.embed(params, video, cfg))
+        assert emb.shape == (2, cfg.hidden_size)
+        np.testing.assert_allclose(emb.mean(-1), 0.0, atol=1e-4)
+        np.testing.assert_allclose(emb.std(-1), 1.0, atol=1e-2)
+
+    def test_perfect_prediction_zero_loss(self):
+        # if decode output == targets the loss must be 0; verify loss wiring
+        cfg = tiny_cfg()
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.zeros((1, 4, 32, 32, 3))  # zero video, norm_pix→0 targets? no: 0/eps→0
+        grid = (cfg.num_time_steps, 4, 4)
+        mask = tube_mask(jax.random.PRNGKey(1), 1, grid, 0.5)
+        nv = cfg.seq_len - 2 * int(0.5 * 16)
+        # zero out the decoder head so predictions are exactly 0 == targets
+        params["decoder_head"]["kernel"] = jnp.zeros_like(params["decoder_head"]["kernel"])
+        params["decoder_head"]["bias"] = jnp.zeros_like(params["decoder_head"]["bias"])
+        loss, _ = videomae.pretrain_loss(params, video, mask, cfg, nv)
+        assert float(loss) == pytest.approx(0.0, abs=1e-10)
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_sharded_batch(self):
+        mesh = make_mesh()
+        cfg = tiny_cfg()
+        mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.75)
+        opt_cfg = OptimConfig(name="sgd", lr=0.05, momentum=0.9)
+        tx = make_optimizer(opt_cfg)
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        state = place_state(state, mesh)
+        step = make_videomae_train_step(mesh, cfg, mask_cfg, tx)
+
+        rng = np.random.default_rng(0)
+        video = rng.standard_normal((8, 4, 32, 32, 3)).astype(np.float32) * 0.1
+        batch = shard_batch(video, mesh)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert int(state.step) == 8
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_eval_step_deterministic(self):
+        mesh = make_mesh()
+        cfg = tiny_cfg()
+        tx = make_optimizer(OptimConfig(lr=0.0))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        state = place_state(TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh)
+        step = make_videomae_train_step(mesh, cfg, MaskConfig(mask_ratio=0.75), tx)
+        video = shard_batch(np.ones((8, 4, 32, 32, 3), np.float32), mesh)
+        m1 = step.eval_step(state, video)
+        m2 = step.eval_step(state, video)
+        assert float(m1["loss"]) == float(m2["loss"])
+
+
+class TestCheckpoint:
+    def test_roundtrip_with_metadata(self, tmp_path):
+        cfg = tiny_cfg()
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        tree = {"model_state_dict": params, "epoch": np.int32(5)}
+        path = tmp_path / "model_dev_1_g0_default_0_0.ckpt"
+        save_checkpoint(path, tree, meta={"run_id": "dev_1_g0_default_0_0", "lr": 0.1})
+        restored = load_checkpoint(path)
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(restored["model_state_dict"])
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        from bvc_tpu.training.checkpoint import load_meta
+
+        assert load_meta(path)["run_id"] == "dev_1_g0_default_0_0"
