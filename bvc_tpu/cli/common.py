@@ -1,0 +1,90 @@
+"""Shared CLI plumbing: the reference's argparse surface → TrainConfig.
+
+Flag names, defaults and single-dash/double-dash spelling follow the
+reference entry points (``pretrain_videomae.py:383-499``,
+``pretrain_jepa.py:486-607``, ``pretrain_simclr.py:390-495``) so existing
+slurm invocations port over mechanically.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from bvc_tpu.utils.config import TrainConfig
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("-train_group", type=str, default="g0",
+                   help="age group: g0|g1|g2|g3|gr")
+    p.add_argument("-jpg_root", type=str, default="")
+    p.add_argument("-savedir", type=str, default="")
+    p.add_argument("-init_checkpoint_path", type=str, default="na")
+    p.add_argument("--ds_rate", type=int, default=1)
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--optim", type=str, default="sgd")
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="per-device batch size (matches per-GPU semantics)")
+    p.add_argument("--n_epoch", type=int, default=1)
+    p.add_argument("--n_trainsamples", type=int, default=81000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--condition", type=str, default="default")
+    p.add_argument("--max_epoch_iters", type=int, default=0)
+    p.add_argument("--run_id", type=str, default="")
+    p.add_argument("--script", type=str, default="")
+    p.add_argument("--num_workers", type=int, default=6)
+    # TPU-native extensions (absent in the reference)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--mesh", type=str, default="",
+                   help="e.g. 'data=8' or 'data=4,model=2'; empty = all data")
+    p.add_argument("--param_sharding", type=str, default="replicated",
+                   choices=["replicated", "fsdp", "tp"])
+    p.add_argument("--control_data_root", type=str, default="")
+    return p
+
+
+def parse_mesh(spec: str) -> dict[str, int]:
+    if not spec:
+        return {}
+    out = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = int(v)
+    return out
+
+
+def to_train_config(args: argparse.Namespace) -> TrainConfig:
+    cfg = TrainConfig()
+    cfg.run_id = args.run_id
+    cfg.savedir = args.savedir
+    cfg.init_checkpoint_path = args.init_checkpoint_path
+    cfg.n_epoch = args.n_epoch
+    cfg.max_epoch_iters = args.max_epoch_iters
+    cfg.seed = args.seed
+    cfg.script = args.script
+    cfg.mesh_shape = parse_mesh(args.mesh)
+    cfg.param_sharding = args.param_sharding
+
+    d = cfg.data
+    d.jpg_root = args.jpg_root
+    d.train_group = args.train_group
+    d.ds_rate = args.ds_rate
+    d.fold = args.fold
+    d.condition = args.condition
+    d.n_trainsamples = args.n_trainsamples
+    d.image_size = args.image_size
+    d.batch_size = args.batch_size
+    d.seed = args.seed
+    d.num_workers = args.num_workers
+    d.control_data_root = args.control_data_root
+
+    o = cfg.optim
+    o.name = args.optim
+    o.lr = args.lr
+    o.weight_decay = args.wd
+    o.momentum = args.momentum
+    cfg.model.image_size = args.image_size
+    return cfg

@@ -1,0 +1,125 @@
+"""CLI: embedding extraction over benchmark datasets.
+
+One entry point covering the reference's three extractors
+(``benchmarks/compute_embeddings_{videomae,jepa,simclr}.py``; flags at
+``compute_embeddings_videomae.py:292-361``), selected by ``--family``.
+Supports a single checkpoint, an untrained baseline
+(``-init_checkpoint_path na``), or a ``--checkpoint_dir`` sweep over
+every ``model_*.ckpt`` like the reference's ``--checkpoint_dir`` loop
+(``:199-205``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from bvc_tpu.evalbench.extract import (
+    extract_embeddings,
+    make_embed_fn,
+    make_task_dataset,
+    run_id_from_checkpoint,
+    save_results,
+    untrained_embed_fn,
+)
+from bvc_tpu.models.vit import VIT_DIMS
+from bvc_tpu.parallel import make_mesh
+from bvc_tpu.utils.config import ModelConfig
+from bvc_tpu.utils.logging import get_logger, is_main_process
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Compute embeddings on benchmark data (TPU)")
+    p.add_argument("-ds_task", type=str, required=True,
+                   help="ssv2|toybox|tb_cat|ucf101|cifar10")
+    p.add_argument("-vid_root", type=str, required=True)
+    p.add_argument("-init_checkpoint_path", type=str, default="na")
+    p.add_argument("-savedir", type=str, required=True)
+    p.add_argument("--family", type=str, default="videomae",
+                   help="videomae|jepa|simclr")
+    p.add_argument("--checkpoint_dir", type=str, default="")
+    p.add_argument("--dataset_split", type=str, default="both",
+                   help="train|test|both")
+    p.add_argument("--frame_rate", type=int, default=12)
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--tubelet_size", type=int, default=2)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=6)
+    p.add_argument("--architecture", type=str, default="base")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run_id", type=str, default="")
+    p.add_argument("--annotation_path", type=str, default="")
+    return p
+
+
+def model_config_from_args(args) -> ModelConfig:
+    cfg = ModelConfig(
+        family=args.family,
+        num_frames=args.num_frames,
+        tubelet_size=args.tubelet_size,
+        image_size=args.image_size,
+    )
+    if args.family == "videomae":
+        cfg.architecture = args.architecture or "base"
+        cfg.layer_norm_eps = 1e-12
+    elif args.family == "jepa":
+        name = args.architecture if args.architecture.startswith("vit_") else "vit_" + args.architecture
+        dim, depth, heads = VIT_DIMS[name]
+        cfg.architecture = name
+        cfg.hidden_size, cfg.depth, cfg.num_heads = dim, depth, heads
+    else:
+        cfg.architecture = args.architecture if args.architecture.startswith("resnet") else "resnet18"
+    return cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from bvc_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    logger = get_logger("bvc_tpu.compute_embeddings")
+    mesh = make_mesh()
+    model_cfg = model_config_from_args(args)
+
+    if args.checkpoint_dir:
+        ckpts = sorted(
+            str(p) for p in Path(args.checkpoint_dir).glob("model_*.ckpt")
+        )
+    elif args.init_checkpoint_path != "na":
+        ckpts = [args.init_checkpoint_path]
+    else:
+        ckpts = ["na"]
+
+    phases = ["train", "test"] if args.dataset_split == "both" else [args.dataset_split]
+    results = []
+    for ckpt in ckpts:
+        if ckpt == "na":
+            run_id = args.run_id or f"untrained_0_na_na_0_{args.seed}"
+            embed_fn = untrained_embed_fn(args.family, model_cfg, args.seed)
+        else:
+            run_id = args.run_id or run_id_from_checkpoint(ckpt)
+            embed_fn = make_embed_fn(args.family, ckpt, model_cfg)
+        for phase in phases:
+            dataset = make_task_dataset(
+                args.ds_task, args.vid_root, args.frame_rate, args.num_frames,
+                train=(phase == "train"), image_size=args.image_size,
+                annotation_path=args.annotation_path,
+            )
+            logger.info("extracting %s/%s: %d samples (ckpt=%s)",
+                        args.ds_task, phase, len(dataset), ckpt)
+            fnames, embs = extract_embeddings(
+                embed_fn, dataset, args.batch_size, mesh, args.num_workers
+            )
+            if is_main_process():
+                path = save_results(fnames, embs, phase, run_id, args.savedir)
+                logger.info("saved %s (%d rows)", path, len(fnames))
+                results.append({"checkpoint": ckpt, "phase": phase,
+                                "csv": path, "rows": len(fnames)})
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

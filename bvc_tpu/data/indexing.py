@@ -131,8 +131,14 @@ def get_fpathseqlist(
                 f"need more frames ({len(items)}) than samples ({n_samples})"
             )
         sample_stride = int(len(items) / n_samples)
+    # Clamp window starts so every clip has full length.  (The reference's
+    # slicing lets final windows run off the end and come back short when
+    # n_samples*stride + window > len — a latent crash in torch.stack; at
+    # its corpus/sample ratios it never triggers.  Clamping preserves the
+    # stride pattern everywhere else and keeps shapes static under jit.)
+    max_start = max(0, len(items) - sample_len)
     return [
-        list(items[i : i + sample_len : ds_rate])
+        list(items[min(i, max_start) : min(i, max_start) + sample_len : ds_rate])
         for i in range(0, n_samples * sample_stride, sample_stride)
     ]
 

@@ -1,0 +1,266 @@
+"""Benchmark dataset readers: SSv2 (frame folders), Toybox (mp4), UCF101
+(avi + split lists), CIFAR-10 (pickled batches).
+
+Re-implements ``benchmarks/dsdatasets.py`` sampling policies without
+torch/torchvision: every reader yields ``(clip [T, H, W, 3] float32
+normalized, fname)`` and returns ``(None, None)`` for undecodable videos
+(the reference's warn-and-skip behavior, ``dsdatasets.py:159-162``),
+which the loader-side ``drop_none_collate`` filters like ``my_collate``
+(``compute_embeddings_jepa.py:42-44``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+from bvc_tpu.data.transforms import center_crop, normalize, resize_shorter
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def _transform_frames(frames: list[np.ndarray], image_size: int = 224) -> np.ndarray:
+    """Resize→CenterCrop→normalize each frame (``dsdatasets._get_transform``)."""
+    out = [normalize(center_crop(resize_shorter(f, image_size), image_size)) for f in frames]
+    return np.stack(out)
+
+
+def _read_image(path: str) -> np.ndarray:
+    from bvc_tpu.data.transforms import decode_jpeg
+
+    return decode_jpeg(path)
+
+
+class SSv2Dataset:
+    """Something-Something-v2 as frame folders: ``root/{train,val}/<id>/<n>.jpg``.
+
+    Frame selection (``dsdatasets.py:50-105``): native fps 12, stride
+    ``round(12/frame_rate)``, start at 1/4 of the clip; fall back to the
+    beginning, then to denser sampling, then pad by repeating the last
+    frame.
+    """
+
+    def __init__(self, root_dir: str, frame_rate: int = 12, sample_len: int = 16,
+                 train: bool = True, image_size: int = 224):
+        self.root_dir = os.path.join(root_dir, "train/" if train else "val/")
+        self.sample_len = sample_len
+        self.image_size = image_size
+        self.ds_rate = max(1, round(12 / frame_rate))
+        self.samples = sorted(os.listdir(self.root_dir), key=int)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _frame_names(self, sample_dir: str) -> list[str]:
+        names = sorted(
+            os.listdir(os.path.join(self.root_dir, sample_dir)),
+            key=lambda x: int(x.split(".")[0]),
+        )
+        n, step, slen = len(names), self.ds_rate, self.sample_len
+        loc = n // 4
+        if n // step < slen:
+            while len(names) // step < slen:
+                names.append(names[-1])
+            return names[::step][:slen]
+        if (n - loc) // step < slen:
+            return names[::step][:slen]
+        return names[loc : loc + slen * step : step][:slen]
+
+    def __getitem__(self, index: int):
+        sample = self.samples[index]
+        names = self._frame_names(sample)
+        frames = [
+            _read_image(str(Path(self.root_dir, sample, fn))) for fn in names
+        ]
+        return _transform_frames(frames, self.image_size), sample
+
+
+class ToyboxDataset:
+    """Toybox mp4 corpus: ``root/<supercategory>/<object>/<view>.mp4``.
+
+    Sampling (``dsdatasets.py:107-217``): per-video fps-derived stride,
+    start at 1/5 of the clip, pad with the last frame when short.
+    """
+
+    def __init__(self, root_dir: str, frame_rate: int = 10, sample_len: int = 16,
+                 image_size: int = 224):
+        self.root_dir = root_dir
+        self.frame_rate = frame_rate
+        self.sample_len = sample_len
+        self.image_size = image_size
+        self.samples: list[str] = []
+        for supercat in sorted(os.listdir(root_dir)):
+            for obj in sorted(os.listdir(os.path.join(root_dir, supercat))):
+                obj_dir = os.path.join(root_dir, supercat, obj)
+                for view in sorted(os.listdir(obj_dir)):
+                    self.samples.append(os.path.join(obj_dir, view))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _pad(self, frames: list[np.ndarray]) -> list[np.ndarray]:
+        while len(frames) < self.sample_len:
+            frames.append(frames[-1])
+        return frames
+
+    def __getitem__(self, index: int):
+        vid_path = self.samples[index]
+        fname = Path(vid_path).name
+        if not _HAS_CV2:
+            raise RuntimeError("cv2 required for Toybox decoding")
+        cap = cv2.VideoCapture(vid_path)
+        if cap is None or not cap.isOpened():
+            warnings.warn(f"unable to open video source: {vid_path}")
+            return None, None
+        fps = cap.get(cv2.CAP_PROP_FPS) or self.frame_rate
+        ds_rate = max(1, round(fps / self.frame_rate))
+        num_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        scope = self.sample_len * ds_rate
+
+        frames: list[np.ndarray] = []
+        if num_frames >= scope:
+            start = int(num_frames / 5)
+            if num_frames - start < scope:
+                start = num_frames - scope
+            cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+        count = 0
+        while len(frames) < self.sample_len:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            if num_frames < scope or count % ds_rate == 0:
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            count += 1
+        cap.release()
+        if not frames:
+            warnings.warn(f"no frames decoded from {vid_path}")
+            return None, None
+        frames = self._pad(frames)
+        return _transform_frames(frames, self.image_size), fname
+
+
+class UCF101Dataset:
+    """UCF-101 avi corpus + official train/test split lists.
+
+    Replaces the torchvision ``UCF101`` subclass + ``make_ucf101dataset``
+    (``dsdatasets.py:234-282``): videos from the fold's split file, one
+    clip per ``step_between_clips=300`` frames, decoded with cv2.
+    """
+
+    def __init__(self, root: str, annotation_path: str, fold: int = 1,
+                 train: bool = True, sample_len: int = 16,
+                 frame_rate: int | None = None, step_between_clips: int = 300,
+                 image_size: int = 224):
+        self.root = root
+        self.sample_len = sample_len
+        self.frame_rate = frame_rate
+        self.step = step_between_clips
+        self.image_size = image_size
+        name = f"{'train' if train else 'test'}list{fold:02d}.txt"
+        entries = []
+        with open(os.path.join(annotation_path, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rel = line.split()[0]
+                label = rel.split("/")[0]
+                entries.append((rel, label))
+        self.clips: list[tuple[str, str, int]] = []  # (relpath, label, start)
+        for rel, label in entries:
+            path = os.path.join(root, rel)
+            if not os.path.exists(path):
+                continue
+            cap = cv2.VideoCapture(path)
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            starts = range(0, max(n - sample_len + 1, 1), self.step)
+            for s in starts:
+                self.clips.append((rel, label, s))
+
+    def __len__(self):
+        return len(self.clips)
+
+    def __getitem__(self, index: int):
+        rel, label, start = self.clips[index]
+        path = os.path.join(self.root, rel)
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            warnings.warn(f"unable to open {path}")
+            return None, None
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25
+        ds = max(1, round(fps / self.frame_rate)) if self.frame_rate else 1
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+        frames: list[np.ndarray] = []
+        count = 0
+        while len(frames) < self.sample_len:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            if count % ds == 0:
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            count += 1
+        cap.release()
+        if not frames:
+            return None, None
+        while len(frames) < self.sample_len:
+            frames.append(frames[-1])
+        # fname doubles as the label carrier for UCF101Eval (the notebook
+        # uses df['fnames'] directly as the category)
+        return _transform_frames(frames, self.image_size), label
+
+
+class Cifar10Dataset:
+    """CIFAR-10 from the standard ``cifar-10-batches-py`` pickles; each
+    image repeated ``sample_len`` times as a still clip
+    (``Cifar10Transform``, ``dsdatasets.py:286-325``)."""
+
+    LABELS = ("airplane automobile bird cat deer dog frog horse ship truck").split()
+
+    def __init__(self, root: str, sample_len: int = 16, train: bool = False,
+                 image_size: int = 224):
+        base = Path(root) / "cifar-10-batches-py"
+        files = (
+            [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+        )
+        xs, ys = [], []
+        for fn in files:
+            with open(base / fn, "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys += list(d[b"labels"])
+        self.images = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        self.labels = ys
+        self.sample_len = sample_len
+        self.image_size = image_size
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, index: int):
+        img = self.images[index]
+        frame = normalize(center_crop(resize_shorter(img, self.image_size), self.image_size))
+        clip = np.broadcast_to(
+            frame, (self.sample_len,) + frame.shape
+        ).copy()
+        return clip, self.LABELS[self.labels[index]]
+
+
+def drop_none_collate(samples: list[tuple]) -> tuple[np.ndarray, list[str]]:
+    """Stack (clip, fname) pairs, dropping failed decodes
+    (``my_collate`` / ``ucf_collate``)."""
+    kept = [(c, f) for c, f in samples if c is not None]
+    if not kept:
+        return np.zeros((0,)), []
+    clips = np.stack([c for c, _ in kept])
+    names = [f for _, f in kept]
+    return clips, names

@@ -1,0 +1,204 @@
+"""Embedding extraction over benchmark datasets.
+
+End-to-end analogue of ``benchmarks/compute_embeddings_{videomae,jepa,simclr}.py``:
+load a pretraining checkpoint (or every checkpoint in a directory), run
+the family-specific embedding head over the train and test splits of a
+benchmark task, gather across hosts, and write
+``embeddings_{run_id}.csv`` (sorted by fname, deduped — the exact CSV
+contract of ``save_results``, ``compute_embeddings_videomae.py:101-126``;
+test split goes under ``savedir/test/``).
+
+Family embedding heads:
+
+- videomae: pooled ``LayerNorm(mean(tokens))`` (classification model with
+  ``num_labels=0`` — ``compute_embeddings_videomae.py:78-96``)
+- jepa: mean over patch tokens of the target/context encoder
+  (``compute_embeddings_jepa.py:242``)
+- simclr: ResNet features of the LAST frame only, head stripped
+  (``compute_embeddings_simclr.py:227,81``)
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from bvc_tpu.evalbench.datasets import (
+    Cifar10Dataset,
+    SSv2Dataset,
+    ToyboxDataset,
+    UCF101Dataset,
+    drop_none_collate,
+)
+from bvc_tpu.parallel import make_mesh, shard_batch
+from bvc_tpu.parallel.collectives import all_gather_objects
+from bvc_tpu.training.checkpoint import load_checkpoint, load_meta
+from bvc_tpu.utils.config import ModelConfig, RunId
+from bvc_tpu.utils.logging import get_logger, is_main_process
+
+
+def make_task_dataset(ds_task: str, vid_root: str, frame_rate: int,
+                      sample_len: int, train: bool, image_size: int = 224,
+                      annotation_path: str = ""):
+    if ds_task == "ssv2":
+        return SSv2Dataset(vid_root, frame_rate, sample_len, train, image_size)
+    if ds_task in ("toybox", "tb_cat", "tb_trans"):
+        return ToyboxDataset(vid_root, frame_rate, sample_len, image_size)
+    if ds_task == "ucf101":
+        return UCF101Dataset(vid_root, annotation_path or str(Path(vid_root).parent / "ucfTrainTestlist"),
+                             fold=1, train=train, sample_len=sample_len,
+                             frame_rate=frame_rate, image_size=image_size)
+    if ds_task == "cifar10":
+        return Cifar10Dataset(vid_root, sample_len, train, image_size)
+    raise ValueError(f"unknown ds_task {ds_task!r}")
+
+
+def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig) -> Callable:
+    """Load the checkpoint and return ``fn(video_batch) → [B, D]``."""
+    restored = load_checkpoint(ckpt_path)
+    if family == "videomae":
+        from bvc_tpu.models import videomae
+
+        params = restored["model_state_dict"]
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        # params must be jit ARGUMENTS: closing over them would inline
+        # every weight as an MLIR constant (catastrophic lowering time +
+        # device->host fetches on remote-attached TPUs)
+        jfn = jax.jit(lambda prm, video: videomae.embed(prm, video, model_cfg))
+        return lambda video: jfn(params, video)
+    if family == "jepa":
+        from bvc_tpu.models import jepa as jepa_model
+
+        # the reference extracts from the (EMA) target encoder when
+        # present, else the online encoder
+        enc = restored.get("target_encoder", restored.get("encoder"))
+        enc = jax.tree_util.tree_map(jnp.asarray, enc)
+        jfn = jax.jit(lambda prm, video: jepa_model.embed(prm, video, model_cfg))
+        return lambda video: jfn(enc, video)
+    if family == "simclr":
+        from bvc_tpu.models import resnet
+
+        params = jax.tree_util.tree_map(jnp.asarray, restored["model_state_dict"])
+        stats = jax.tree_util.tree_map(jnp.asarray, restored["batch_stats"])
+        arch = model_cfg.architecture or "resnet18"
+
+        def _embed(prm, st, video):
+            # last frame only (compute_embeddings_simclr.py:227)
+            feats, _ = resnet.apply(
+                prm, st, video[:, -1], arch, training=False, with_head=False
+            )
+            return feats
+
+        jfn = jax.jit(_embed)
+        return lambda video: jfn(params, stats, video)
+    raise ValueError(f"unknown family {family!r}")
+
+
+def untrained_embed_fn(family: str, model_cfg: ModelConfig, seed: int = 0) -> Callable:
+    """Random-init model — the stage-0 'untrained baseline' path
+    (``init_checkpoint_path='na'``, ``slurm_dev_def.bash:80-87``)."""
+    if family == "videomae":
+        from bvc_tpu.models import videomae
+
+        params = videomae.init_params(jax.random.PRNGKey(seed), model_cfg)
+        jfn = jax.jit(lambda prm, v: videomae.embed(prm, v, model_cfg))
+        return lambda v: jfn(params, v)
+    if family == "jepa":
+        from bvc_tpu.models import jepa as jepa_model
+
+        params = jepa_model.init_encoder_params(jax.random.PRNGKey(seed), model_cfg)
+        jfn = jax.jit(lambda prm, v: jepa_model.embed(prm, v, model_cfg))
+        return lambda v: jfn(params, v)
+    if family == "simclr":
+        from bvc_tpu.models import resnet
+
+        arch = model_cfg.architecture or "resnet18"
+        params, stats = resnet.init_params(jax.random.PRNGKey(seed), arch)
+        jfn = jax.jit(
+            lambda prm, st, v: resnet.apply(prm, st, v[:, -1], arch,
+                                            training=False, with_head=False)[0]
+        )
+        return lambda v: jfn(params, stats, v)
+    raise ValueError(family)
+
+
+def save_results(fnames: list[str], embeddings: np.ndarray, phase: str,
+                 run_id: str, savedir: str) -> str:
+    """CSV contract of the reference ``save_results``."""
+    hdim = embeddings.shape[1]
+    df = pd.DataFrame(embeddings, columns=[f"dim{i}" for i in range(hdim)])
+    df["fnames"] = fnames
+    df = df[["fnames"] + [f"dim{i}" for i in range(hdim)]]
+    df = df.sort_values("fnames")
+    df = df.drop_duplicates(subset="fnames", ignore_index=True)
+    out_dir = Path(savedir) / ("test" if phase == "test" else "")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / f"embeddings_{run_id}.csv"
+    df.to_csv(path, sep=",", float_format="%.6f", index=False)
+    return str(path)
+
+
+def extract_embeddings(
+    embed_fn: Callable,
+    dataset,
+    batch_size: int = 64,
+    mesh=None,
+    num_workers: int = 6,
+) -> tuple[list[str], np.ndarray]:
+    """Run ``embed_fn`` over the whole dataset, multi-host aware."""
+    mesh = mesh or make_mesh()
+    logger = get_logger("bvc_tpu.extract")
+    import concurrent.futures as cf
+
+    fnames: list[str] = []
+    embs: list[np.ndarray] = []
+    n = len(dataset)
+    idxs = list(range(n))
+    # host slicing for multi-host runs
+    n_proc, i_proc = jax.process_count(), jax.process_index()
+    idxs = idxs[i_proc::n_proc]
+
+    with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            samples = list(pool.map(lambda i: dataset[i], chunk))
+            clips, names = drop_none_collate(samples)
+            if len(names) == 0:
+                continue
+            # pad to full batch for a single compiled shape
+            pad = batch_size - clips.shape[0]
+            if pad:
+                clips = np.concatenate([clips, np.repeat(clips[-1:], pad, 0)])
+            out = np.asarray(embed_fn(jnp.asarray(clips)))
+            if pad:
+                out = out[: len(names)]
+            fnames += list(names)
+            embs.append(out.astype(np.float32))
+    local = {
+        "fnames": fnames,
+        "embeddings": np.concatenate(embs) if embs else np.zeros((0, 1), np.float32),
+    }
+    gathered = all_gather_objects(local)
+    all_names: list[str] = []
+    all_embs: list[np.ndarray] = []
+    for d in gathered:
+        all_names += list(d["fnames"])
+        all_embs.append(np.asarray(d["embeddings"]))
+    return all_names, np.concatenate(all_embs)
+
+
+def run_id_from_checkpoint(fp: str) -> str:
+    name = Path(fp).name
+    for pre in ("model_",):
+        if name.startswith(pre):
+            name = name[len(pre):]
+    for suf in (".pth.tar", ".ckpt"):
+        if name.endswith(suf):
+            name = name[: -len(suf)]
+    return name

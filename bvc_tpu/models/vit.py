@@ -101,7 +101,8 @@ def _dense(x, p, dtype):
 
 
 def block_apply(params: dict, x: jnp.ndarray, num_heads: int,
-                ln_eps: float = 1e-6, attn_impl: str = "auto") -> jnp.ndarray:
+                ln_eps: float = 1e-6, attn_impl: str = "auto",
+                key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """One pre-LN transformer block on ``[B, N, D]``."""
     B, N, D = x.shape
     dtype = x.dtype
@@ -109,7 +110,7 @@ def block_apply(params: dict, x: jnp.ndarray, num_heads: int,
     qkv = _dense(h, params["attn"]["qkv"], dtype)
     qkv = qkv.reshape(B, N, 3, num_heads, D // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    attn_out = multi_head_attention(q, k, v, impl=attn_impl)
+    attn_out = multi_head_attention(q, k, v, impl=attn_impl, key_mask=key_mask)
     attn_out = _dense(attn_out.reshape(B, N, D), params["attn"]["proj"], dtype)
     x = x + attn_out
 
@@ -127,11 +128,12 @@ def run_blocks(
     ln_eps: float = 1e-6,
     remat: bool = False,
     attn_impl: str = "auto",
+    key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Scan the stacked blocks over ``x``."""
 
     def body(carry, layer_params):
-        out = block_apply(layer_params, carry, num_heads, ln_eps, attn_impl)
+        out = block_apply(layer_params, carry, num_heads, ln_eps, attn_impl, key_mask)
         return out, None
 
     if remat:

@@ -1,0 +1,72 @@
+"""ctypes bindings for the native decode core (see ``decode.cpp``).
+
+``decode_frames(paths, image_size)`` fuses JPEG decode + shorter-side
+bilinear resize + center crop + (x/255 - 0.5)/0.25 normalize for a list
+of frames in one call with an internal thread pool.  Auto-builds on
+first use when a compiler is present; callers check :func:`available`
+and fall back to the Python path (``bvc_tpu.data.transforms``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).parent / "libbvc_native.so"
+_lib = None
+_load_failed = False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists():
+            from bvc_tpu.native.build import build
+
+            build(verbose=False)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.bvc_decode_frames.restype = ctypes.c_int
+        lib.bvc_decode_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
+        _lib = lib
+    except Exception:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_frames(
+    paths: list[str], image_size: int, n_threads: int | None = None
+) -> np.ndarray:
+    """``[len(paths), image_size, image_size, 3]`` float32, normalized.
+
+    Raises ``IOError`` naming the first undecodable path.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decode core unavailable")
+    n = len(paths)
+    out = np.empty((n, image_size, image_size, 3), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads is None:
+        n_threads = min(n, os.cpu_count() or 1)
+    rc = lib.bvc_decode_frames(
+        arr, n, image_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    if rc != 0:
+        raise IOError(f"failed to decode {paths[rc - 1]}")
+    return out

@@ -1,0 +1,95 @@
+"""NT-Xent / InfoNCE for the SimCLR family.
+
+Faithful re-expression of ``info_nce_loss`` + ``get_special_matrix``
+(``contrastive/pretrain_simclr.py:86-91,114-128,283-292``), which has two
+quirks worth documenting because they change the numbers:
+
+1. **Positive mask** is ``|i-j| == 1`` on the interleaved ``[2B]`` batch
+   (anchor0, pos0, anchor1, pos1, ...).  That marks the true pairs
+   (2k, 2k+1) in both directions *and* the spurious cross-sample pairs
+   (2k+1, 2k+2).  We reproduce it in ``mode='parity'``.
+2. **Global logsumexp**: ``cos_sim[neg_mask]`` boolean-flattens to 1-D,
+   so the log-partition is over ALL negative pairs of the whole batch,
+   not per-anchor.  The loss is
+   ``mean_over_positives(logsumexp(all_negatives) - pos)``.
+
+``mode='standard'`` provides the textbook SimCLR NT-Xent (per-anchor
+logsumexp over that row's negatives, only true pairs positive) for users
+who want the corrected objective; parity mode is the default so scores
+line up with the reference.
+
+Cross-replica negatives: the reference computes the loss per rank only
+(SURVEY.md §2.5 "per-rank only").  Under SPMD jit the loss sees the
+global batch, which *adds* cross-chip negatives.  ``per_replica_negatives``
+restores reference semantics by blocking cross-shard pairs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def interleaved_pair_masks(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(pos_mask, neg_mask) over the ``[n, n]`` similarity matrix,
+    n = 2*batch.  pos = |i-j|==1; neg = everything except pos and self."""
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    pos = np.abs(i - j) == 1
+    neg = ~(pos | (i == j))
+    return pos, neg
+
+
+def standard_pair_masks(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """True SimCLR pairing: positives only (2k, 2k+1)/(2k+1, 2k)."""
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    pos = (i // 2 == j // 2) & (i != j)
+    neg = ~(pos | (i == j))
+    return pos, neg
+
+
+def _cosine_matrix(feats: jnp.ndarray) -> jnp.ndarray:
+    f = feats.astype(jnp.float32)
+    f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-8)
+    return f @ f.T
+
+
+def info_nce_loss(
+    feats: jnp.ndarray,
+    temperature: float = 0.1,
+    mode: str = "parity",
+    replica_ids: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Loss over interleaved ``[2B, D]`` features.
+
+    ``replica_ids``: optional ``[2B]`` int array; when given, pairs that
+    span different ids are excluded from the negative set
+    (``per_replica_negatives`` reference semantics).
+    """
+    n = feats.shape[0]
+    sim = _cosine_matrix(feats) / temperature
+    if mode == "parity":
+        pos_np, neg_np = interleaved_pair_masks(n)
+    else:
+        pos_np, neg_np = standard_pair_masks(n)
+    pos_mask = jnp.asarray(pos_np)
+    neg_mask = jnp.asarray(neg_np)
+    if replica_ids is not None:
+        same = replica_ids[:, None] == replica_ids[None, :]
+        neg_mask = neg_mask & same
+
+    from jax.scipy.special import logsumexp
+
+    if mode == "parity":
+        # global log-partition over every negative pair (reference quirk 2)
+        neg_logits = jnp.where(neg_mask, sim, -jnp.inf)
+        log_z = logsumexp(neg_logits.reshape(-1))
+        pos_terms = jnp.where(pos_mask, sim, 0.0)
+        n_pos = jnp.sum(pos_mask)
+        return log_z - jnp.sum(pos_terms) / n_pos
+    # standard: per-anchor
+    row_logits = jnp.where(neg_mask | pos_mask, sim, -jnp.inf)
+    log_z_row = logsumexp(row_logits, axis=-1)
+    pos_sim = jnp.sum(jnp.where(pos_mask, sim, 0.0), axis=-1)
+    return jnp.mean(log_z_row - pos_sim)

@@ -19,9 +19,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, scale):
+def _xla_attention(q, k, v, scale, key_mask=None):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    logits = logits * scale
+    if key_mask is not None:
+        # [B, Nk] bool, True = attendable; padded keys get -inf
+        bias = jnp.where(key_mask[:, None, None, :], 0.0, -1e30)
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=q.dtype)
 
 
@@ -31,21 +36,28 @@ def multi_head_attention(
     v: jnp.ndarray,
     scale: float | None = None,
     impl: str = "auto",
+    key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over ``[B, N, h, d]`` tensors.
 
     ``impl``: 'auto' | 'xla' | 'flash'.  'auto' picks flash on TPU when
     the sequence is long enough to benefit and divisible into lane-aligned
-    blocks, else XLA.
+    blocks, else XLA.  ``key_mask`` (``[B, N]`` bool, True = valid) makes
+    padded tokens invisible to every query — used by the static-shape
+    JEPA mask padding; mask support forces the XLA path.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = q.shape[1]
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "flash" if (on_tpu and n >= 1024 and n % 128 == 0) else "xla"
-    if impl == "flash":
+        impl = (
+            "flash"
+            if (on_tpu and key_mask is None and n >= 1024 and n % 128 == 0)
+            else "xla"
+        )
+    if impl == "flash" and key_mask is None:
         from bvc_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
-    return _xla_attention(q, k, v, scale)
+    return _xla_attention(q, k, v, scale, key_mask)

@@ -68,6 +68,7 @@ def make_videomae_train_step(
     mask_cfg: MaskConfig,
     tx: optax.GradientTransformation,
     param_mode: str = "replicated",
+    grad_probes: dict[str, Callable[[Any], jnp.ndarray]] | None = None,
 ) -> Callable[[TrainState, jnp.ndarray], tuple[TrainState, dict]]:
     """Tube-masked reconstruction step over ``video [B,T,H,W,C]``.
 
@@ -102,6 +103,10 @@ def make_videomae_train_step(
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
+        # device-side per-layer gradient probes (reference grad_logger,
+        # generative/loggingtools.py:98-119, computed on host there)
+        for name, fn in (grad_probes or {}).items():
+            metrics[name] = fn(grads)
         return (
             TrainState(
                 step=state.step + 1,
@@ -120,6 +125,163 @@ def make_videomae_train_step(
             state.params, video, mask, model_cfg, num_visible
         )
         return metrics
+
+    return _jit_over_mesh(step, eval_step, mesh, param_mode)
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """Elementwise Huber/smooth-L1, torch ``F.smooth_l1_loss`` semantics
+    (beta=1.0 default) — reference JEPA loss (``pretrain_jepa.py:399-402``)."""
+    d = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def make_jepa_train_step(
+    mesh: Mesh,
+    model_cfg: ModelConfig,
+    tx: optax.GradientTransformation,
+    total_steps: int,
+    ema: tuple[float, float] = (0.996, 1.0),
+    param_mode: str = "replicated",
+):
+    """JEPA step: context-encode → predict → smooth-L1 vs frozen EMA
+    targets → update online nets → EMA the target encoder.
+
+    Batch dict (all batch-major for ``data``-axis sharding):
+      ``video``    ``[B, T, H, W, C]``
+      ``enc_idx``  ``[B, Ke]``      int32, −1 padded (nenc = 1)
+      ``pred_idx`` ``[B, M, Kp]``   int32, −1 padded
+
+    Subsumes ``pretrain_jepa.py:383-432`` (train_step incl. the momentum
+    loop) in one jitted function; the EMA coefficient ramps
+    0.996 → 1.0 linearly over ``total_steps`` like the reference's
+    generator expression (``:309-311``).
+    """
+    from bvc_tpu.models import jepa
+
+    def step(state: TrainState, batch):
+        video = batch["video"]
+        enc_idx = batch["enc_idx"]
+        pred_idx = jnp.transpose(batch["pred_idx"], (1, 0, 2))  # [M, B, Kp]
+        rng, _ = jax.random.split(state.rng)
+
+        targets = jax.lax.stop_gradient(
+            jepa.target_features(state.target_params, video, pred_idx, model_cfg)
+        )
+        valid = (pred_idx >= 0).astype(jnp.float32)[..., None]  # [M,B,Kp,1]
+
+        def loss_fn(params):
+            z = jepa.encoder_forward(params["encoder"], video, model_cfg, enc_idx)
+            preds = jepa.predictor_forward(
+                params["predictor"], z, enc_idx, pred_idx, model_cfg
+            )
+            per = smooth_l1(preds, targets) * valid
+            denom = jnp.maximum(jnp.sum(valid), 1.0) * preds.shape[-1]
+            return jnp.sum(per) / denom
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # EMA target update with the linear 0.996→1.0 ramp
+        frac = jnp.minimum(state.step.astype(jnp.float32) / max(total_steps, 1), 1.0)
+        m = ema[0] + frac * (ema[1] - ema[0])
+        target_params = jax.tree_util.tree_map(
+            lambda t, p: t * m + p.astype(t.dtype) * (1.0 - m),
+            state.target_params,
+            params["encoder"],
+        )
+        qkv = grads["encoder"]["blocks"]["attn"]["qkv"]["kernel"]
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "grad_fl": jnp.linalg.norm(qkv[0].astype(jnp.float32)),
+            "grad_ll": jnp.linalg.norm(qkv[-1].astype(jnp.float32)),
+            "mask_a": jnp.sum(enc_idx[0] >= 0),
+            "mask_b": jnp.sum(pred_idx[0, 0] >= 0),
+            "ema_m": m,
+        }
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state,
+                       rng=rng, target_params=target_params, extra=state.extra),
+            metrics,
+        )
+
+    def eval_step(state: TrainState, batch):
+        video = batch["video"]
+        enc_idx = batch["enc_idx"]
+        pred_idx = jnp.transpose(batch["pred_idx"], (1, 0, 2))
+        targets = jepa.target_features(state.target_params, video, pred_idx, model_cfg)
+        z = jepa.encoder_forward(state.params["encoder"], video, model_cfg, enc_idx)
+        preds = jepa.predictor_forward(
+            state.params["predictor"], z, enc_idx, pred_idx, model_cfg
+        )
+        valid = (pred_idx >= 0).astype(jnp.float32)[..., None]
+        per = smooth_l1(preds, targets) * valid
+        denom = jnp.maximum(jnp.sum(valid), 1.0) * preds.shape[-1]
+        return {"loss": jnp.sum(per) / denom}
+
+    return _jit_over_mesh(step, eval_step, mesh, param_mode)
+
+
+def make_simclr_train_step(
+    mesh: Mesh,
+    arch: str,
+    tx: optax.GradientTransformation,
+    temperature: float = 0.1,
+    loss_mode: str = "parity",
+    param_mode: str = "replicated",
+    dtype=jnp.float32,
+):
+    """SimCLR step over pair batches ``[B, 2, H, W, C]``.
+
+    Replaces the hot loop of ``contrastive/pretrain_simclr.py:296-365``:
+    the batch is flattened to the interleaved ``[2B, ...]`` layout
+    (``:320-329``), pushed through ResNet+head, and scored with the
+    reference's InfoNCE (see :mod:`bvc_tpu.objectives.contrastive` for the
+    preserved quirks).  BatchNorm running stats live in ``state.extra``.
+    """
+    from bvc_tpu.models import resnet
+    from bvc_tpu.objectives.contrastive import info_nce_loss
+
+    def step(state: TrainState, batch):
+        B = batch.shape[0]
+        x = batch.reshape(B * 2, *batch.shape[2:])
+        rng, _ = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            feats, new_stats = resnet.apply(
+                params, state.extra, x, arch, training=True, dtype=dtype
+            )
+            loss = info_nce_loss(feats, temperature, loss_mode)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            # conv1 / fc.0 probes (contrastive/loggingtools.py:103-110)
+            "grad_conv1": optax.global_norm(grads["stem"]["conv"]),
+            "grad_fc0": optax.global_norm(grads["head"]["fc1"]),
+        }
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state,
+                       rng=rng, target_params=state.target_params,
+                       extra=new_stats),
+            metrics,
+        )
+
+    def eval_step(state: TrainState, batch):
+        B = batch.shape[0]
+        x = batch.reshape(B * 2, *batch.shape[2:])
+        feats, _ = resnet.apply(
+            state.params, state.extra, x, arch, training=False, dtype=dtype
+        )
+        return {"loss": info_nce_loss(feats, temperature, loss_mode)}
 
     return _jit_over_mesh(step, eval_step, mesh, param_mode)
 

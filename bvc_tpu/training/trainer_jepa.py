@@ -1,0 +1,195 @@
+"""(V-)JEPA pretraining driver — one curriculum stage.
+
+End-to-end analogue of ``DDP_process`` in
+``pretraining/predictive/pretrain_jepa.py:154-483``: multi-block mask
+collation in the input pipeline, context/target encoders + predictor, EMA
+target updates, the predictive CSV schema
+(epoch, itr, loss, grad-FL, grad-LL, mask-A, mask-B, time (ms)), params
+yaml, and a three-model checkpoint
+(``encoder``/``predictor``/``target_encoder`` keys as at
+``pretrain_jepa.py:126-142``).
+"""
+
+from __future__ import annotations
+
+import copy
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bvc_tpu.data.factory import make_dataset
+from bvc_tpu.data.loader import DataLoader
+from bvc_tpu.masks.multiblock import MultiBlockMaskCollator, update_mask_indices
+from bvc_tpu.models import jepa
+from bvc_tpu.parallel import make_mesh
+from bvc_tpu.training.checkpoint import (
+    checkpoint_path,
+    load_checkpoint,
+    save_checkpoint,
+)
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_jepa_train_step, place_state
+from bvc_tpu.utils import AverageMeter, CSVLogger, StepTimer, TrainConfig
+from bvc_tpu.utils.logging import get_logger, is_main_process
+
+
+def make_mask_collate(cfg: TrainConfig, batches_per_epoch: int):
+    """collate_fn attaching enc/pred mask indices to each batch."""
+    m = cfg.model
+    collator = MultiBlockMaskCollator(
+        input_size=m.image_size,
+        patch_size=m.patch_size,
+        enc_mask_scale=cfg.mask.enc_mask_scale,
+        pred_mask_scale=cfg.mask.pred_mask_scale,
+        aspect_ratio=cfg.mask.aspect_ratio,
+        nenc=cfg.mask.num_enc_masks,
+        npred=cfg.mask.num_pred_masks,
+        min_keep=cfg.mask.min_keep,
+        allow_overlap=cfg.mask.allow_overlap,
+        seed=cfg.seed,
+    )
+    if cfg.mask.num_enc_masks != 1:
+        raise NotImplementedError("nenc != 1 not supported (reference always uses 1)")
+
+    def collate(batch: np.ndarray, epoch: int, batch_idx: int):
+        step = epoch * batches_per_epoch + batch_idx
+        enc_idx, pred_idx = collator(batch.shape[0], step=step)
+        enc_idx = update_mask_indices(
+            enc_idx, m.image_size, m.patch_size, m.num_frames, m.tubelet_size,
+            isencoder=True,
+        )
+        pred_idx = update_mask_indices(
+            pred_idx, m.image_size, m.patch_size, m.num_frames, m.tubelet_size,
+            isencoder=False,
+        )
+        return {
+            "video": batch,
+            "enc_idx": enc_idx[0],                       # nenc=1 → [B, Ke]
+            "pred_idx": pred_idx.transpose(1, 0, 2),     # [B, M, Kp]
+        }
+
+    return collate, collator
+
+
+def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
+    logger = get_logger("bvc_tpu.jepa")
+    if not cfg.savedir:
+        raise ValueError("savedir is required")
+    folder = Path(cfg.savedir)
+    folder.mkdir(parents=True, exist_ok=True)
+    mesh = mesh or make_mesh(cfg.mesh_shape)
+    cfg.dump_yaml(folder / f"params_{cfg.run_id}.yaml")
+
+    csv_logger = None
+    if is_main_process():
+        csv_logger = CSVLogger(
+            str(folder / f"csvlog_{cfg.run_id}.csv"),
+            ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"),
+            ("%.4e", "grad-FL"), ("%.4e", "grad-LL"),
+            ("%d", "mask-A"), ("%d", "mask-B"), ("%d", "time (ms)"),
+        )
+
+    # model/state --------------------------------------------------------------
+    params = jepa.init_params(jax.random.PRNGKey(cfg.seed), cfg.model)
+    target_params = copy.deepcopy(params["encoder"])
+    tx = make_optimizer(cfg.optim, params)
+    start_epoch = 0
+    state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1),
+                              target_params=target_params)
+    if cfg.init_checkpoint_path != "na":
+        # restore INTO a structural template so the optax pytree shapes
+        # survive serialization (reference loads enc/pred/target AND the
+        # optimizer when chaining stages, pretrain_jepa.py:290-300)
+        logger.info("init from checkpoint %s", cfg.init_checkpoint_path)
+        like = {
+            "encoder": state.params["encoder"],
+            "predictor": state.params["predictor"],
+            "target_encoder": state.target_params,
+            "opt": state.opt_state,
+            "epoch": np.zeros((), np.int32),
+        }
+        restored = load_checkpoint(cfg.init_checkpoint_path, like=like)
+        start_epoch = int(restored["epoch"])
+        state = state.replace(
+            params={"encoder": restored["encoder"], "predictor": restored["predictor"]},
+            target_params=restored["target_encoder"],
+            opt_state=restored["opt"],
+        )
+    state = place_state(state, mesh, cfg.param_sharding)
+
+    ipe = cfg.max_epoch_iters or 1
+    total_steps = ipe * cfg.n_epoch
+    step = make_jepa_train_step(
+        mesh, cfg.model, tx, total_steps, cfg.optim.ema, cfg.param_sharding
+    )
+
+    # data ---------------------------------------------------------------------
+    datasets = make_dataset("jepa", cfg.data)
+    global_batch = cfg.data.batch_size * mesh.devices.size
+    n_batches = len(datasets["train"]) // global_batch
+    if cfg.max_epoch_iters:
+        n_batches = min(n_batches, cfg.max_epoch_iters)
+    collate, collator = make_mask_collate(cfg, n_batches)
+    loader = DataLoader(
+        datasets["train"], mesh, global_batch, shuffle=True, seed=cfg.seed,
+        num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch,
+        max_batches=cfg.max_epoch_iters, collate_fn=collate,
+    )
+    logger.info("dataset: %d samples, %d iters/epoch, global batch %d",
+                len(datasets["train"]), len(loader), global_batch)
+
+    timer = StepTimer()
+    loss_meter = AverageMeter()
+    for epoch in range(start_epoch, start_epoch + cfg.n_epoch):
+        loss_meter = AverageMeter()
+        maskA = AverageMeter()
+        maskB = AverageMeter()
+        for itr, batch in enumerate(loader.epoch(epoch)):
+            (state, metrics), ms = timer(lambda: step(state, batch))
+            loss = float(metrics["loss"])
+            loss_meter.update(loss)
+            maskA.update(float(metrics["mask_a"]))
+            maskB.update(float(metrics["mask_b"]))
+            if csv_logger is not None:
+                csv_logger.log(
+                    epoch + 1, itr, loss,
+                    float(metrics["grad_fl"]), float(metrics["grad_ll"]),
+                    int(metrics["mask_a"]), int(metrics["mask_b"]), int(ms),
+                )
+            if itr % cfg.log_freq == 0:
+                logger.info(
+                    "[%d, %5d] loss: %.3f masks: %.1f %.1f (%.0f ms) m=%.4f",
+                    epoch + 1, itr, loss_meter.avg, maskA.avg, maskB.avg, ms,
+                    float(metrics["ema_m"]),
+                )
+            if np.isnan(loss):
+                raise FloatingPointError(f"loss is nan at epoch {epoch} itr {itr}")
+        logger.info("epoch %d avg loss %.4f", epoch + 1, loss_meter.avg)
+
+    chpt = checkpoint_path(folder, cfg.run_id)
+    save_checkpoint(
+        chpt,
+        {
+            "encoder": jax.device_get(state.params["encoder"]),
+            "predictor": jax.device_get(state.params["predictor"]),
+            "target_encoder": jax.device_get(state.target_params),
+            "opt": jax.device_get(state.opt_state),
+            "epoch": np.int32(start_epoch + cfg.n_epoch),
+        },
+        meta={
+            "run_id": cfg.run_id,
+            "epoch": start_epoch + cfg.n_epoch,
+            "loss": loss_meter.avg,
+            "batch_size": cfg.data.batch_size,
+            "world_size": int(mesh.devices.size),
+            "lr": cfg.optim.lr,
+            "family": "jepa",
+            "collator_step": collator.state_dict()["step"],
+            "script": cfg.script,
+        },
+    )
+    logger.info("checkpoint saved at %s", chpt)
+    return {"checkpoint": str(chpt), "train_loss": loss_meter.avg}

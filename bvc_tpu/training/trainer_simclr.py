@@ -1,0 +1,125 @@
+"""SimCLR pretraining driver — one curriculum stage.
+
+End-to-end analogue of ``DDP_process`` in
+``pretraining/contrastive/pretrain_simclr.py:140-383``: ResNet+MLP head,
+interleaved-pair InfoNCE (tau = 0.1 hard-coded like ``:284``), the
+contrastive CSV schema, params yaml, and a
+``model_state_dict``-style checkpoint.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bvc_tpu.data.factory import make_dataset
+from bvc_tpu.data.loader import DataLoader
+from bvc_tpu.models import resnet
+from bvc_tpu.parallel import make_mesh
+from bvc_tpu.training.checkpoint import (
+    checkpoint_path,
+    load_checkpoint,
+    save_checkpoint,
+)
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_simclr_train_step, place_state
+from bvc_tpu.utils import AverageMeter, CSVLogger, StepTimer, TrainConfig
+from bvc_tpu.utils.logging import get_logger, is_main_process
+
+TEMPERATURE = 0.1  # hard-coded in the reference (pretrain_simclr.py:284)
+
+
+def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
+    logger = get_logger("bvc_tpu.simclr")
+    if not cfg.savedir:
+        raise ValueError("savedir is required")
+    folder = Path(cfg.savedir)
+    folder.mkdir(parents=True, exist_ok=True)
+    mesh = mesh or make_mesh(cfg.mesh_shape)
+    cfg.dump_yaml(folder / f"params_{cfg.run_id}.yaml")
+
+    csv_logger = None
+    if is_main_process():
+        csv_logger = CSVLogger(
+            str(folder / f"csvlog_{cfg.run_id}.csv"),
+            ("%d", "epoch"), ("%d", "itr"), ("%.5f", "train loss"),
+            ("%.4e", "grad-conv1"), ("%.4e", "grad-fc0"), ("%d", "time (ms)"),
+        )
+
+    arch = cfg.model.architecture or "resnet18"
+    params, stats = resnet.init_params(
+        jax.random.PRNGKey(cfg.seed), arch, head_dim=cfg.model.pred_emb_dim
+    )
+    if cfg.init_checkpoint_path != "na":
+        logger.info("init from checkpoint %s", cfg.init_checkpoint_path)
+        restored = load_checkpoint(cfg.init_checkpoint_path)
+        cast = lambda like, x: jax.tree_util.tree_map(
+            lambda l, v: jnp.asarray(v, l.dtype), like, x
+        )
+        params = cast(params, restored["model_state_dict"])
+        if "batch_stats" in restored:
+            stats = cast(stats, restored["batch_stats"])
+    tx = make_optimizer(cfg.optim)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1), extra=stats)
+    state = place_state(state, mesh, cfg.param_sharding)
+    step = make_simclr_train_step(
+        mesh, arch, tx, TEMPERATURE, loss_mode="parity",
+        param_mode=cfg.param_sharding,
+    )
+
+    datasets = make_dataset("simclr", cfg.data)
+    global_batch = cfg.data.batch_size * mesh.devices.size
+    loader = DataLoader(
+        datasets["train"], mesh, global_batch, shuffle=True, seed=cfg.seed,
+        num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch,
+        max_batches=cfg.max_epoch_iters,
+    )
+    logger.info("dataset: %d pairs, %d iters/epoch, global batch %d",
+                len(datasets["train"]), len(loader), global_batch)
+
+    timer = StepTimer()
+    loss_meter = AverageMeter()
+    for epoch in range(cfg.n_epoch):
+        loss_meter = AverageMeter()
+        for itr, batch in enumerate(loader.epoch(epoch)):
+            (state, metrics), ms = timer(lambda: step(state, batch))
+            loss = float(metrics["loss"])
+            loss_meter.update(loss)
+            if csv_logger is not None:
+                csv_logger.log(epoch + 1, itr, loss,
+                               float(metrics["grad_conv1"]),
+                               float(metrics["grad_fc0"]), int(ms))
+            if itr % cfg.log_freq == 0:
+                logger.info("[%d, %5d] loss: %.3f (%.0f ms)",
+                            epoch + 1, itr, loss_meter.avg, ms)
+            if np.isnan(loss) or np.isinf(loss):
+                raise FloatingPointError(f"loss is {loss}")
+        logger.info("epoch %d avg loss %.4f", epoch + 1, loss_meter.avg)
+
+    chpt = checkpoint_path(folder, cfg.run_id)
+    save_checkpoint(
+        chpt,
+        {
+            "model_state_dict": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.extra),
+            "opt": jax.device_get(state.opt_state),
+            "epoch": np.int32(cfg.n_epoch),
+        },
+        meta={
+            "run_id": cfg.run_id,
+            "epoch": cfg.n_epoch,
+            "train_loss": loss_meter.avg,
+            "batch_size": cfg.data.batch_size,
+            "world_size": int(mesh.devices.size),
+            "lr": cfg.optim.lr,
+            "family": "simclr",
+            "architecture": arch,
+            "script": cfg.script,
+        },
+    )
+    logger.info("checkpoint saved at %s", chpt)
+    return {"checkpoint": str(chpt), "train_loss": loss_meter.avg}

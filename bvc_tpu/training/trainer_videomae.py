@@ -1,0 +1,162 @@
+"""VideoMAE pretraining driver — one curriculum stage.
+
+End-to-end analogue of ``DDP_process`` in
+``pretraining/generative/pretrain_videomae.py:97-377``, restructured for
+SPMD: no process spawning, one mesh, one jitted step; preserves the
+artifact contract (``csvlog_{run_id}.csv`` with the generative column
+schema, ``params_{run_id}.yaml``, ``model_{run_id}.ckpt`` with the
+reference's metadata keys).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bvc_tpu.data.factory import make_dataset
+from bvc_tpu.data.loader import DataLoader
+from bvc_tpu.models import videomae
+from bvc_tpu.parallel import make_mesh
+from bvc_tpu.training.checkpoint import (
+    checkpoint_path,
+    load_checkpoint,
+    save_checkpoint,
+)
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_videomae_train_step, place_state
+from bvc_tpu.utils import AverageMeter, CSVLogger, StepTimer, TrainConfig
+from bvc_tpu.utils.logging import get_logger, is_main_process
+
+
+GRAD_PROBES = {
+    # encoder-first-layer / encoder-last-layer / decoder-last-layer norms,
+    # the generative CSV's grad-EFL/ELL/DLL columns
+    # (pretrain_videomae.py:148-150)
+    "grad_efl": lambda g: optax.global_norm(g["patch_embed"]),
+    "grad_ell": lambda g: optax.global_norm(
+        jax.tree_util.tree_map(lambda x: x[-1], g["encoder"])
+    ),
+    "grad_dll": lambda g: optax.global_norm(g["decoder_head"]),
+}
+
+
+def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
+    """Train one stage; returns summary dict with final losses and the
+    checkpoint path."""
+    logger = get_logger("bvc_tpu.videomae")
+    if not cfg.savedir:
+        raise ValueError("savedir is required")
+    folder = Path(cfg.savedir)
+    folder.mkdir(parents=True, exist_ok=True)
+
+    mesh = mesh or make_mesh(cfg.mesh_shape)
+    cfg.dump_yaml(folder / f"params_{cfg.run_id}.yaml")
+    csv_logger = None
+    if is_main_process():
+        csv_logger = CSVLogger(
+            str(folder / f"csvlog_{cfg.run_id}.csv"),
+            ("%d", "epoch"), ("%d", "itr"),
+            ("%.5f", "train loss"), ("%.5f", "val loss"),
+            ("%.4e", "grad-EFL"), ("%.4e", "grad-ELL"), ("%.4e", "grad-DLL"),
+        )
+
+    # model / optimizer / state ------------------------------------------------
+    params = videomae.init_params(jax.random.PRNGKey(cfg.seed), cfg.model)
+    if cfg.init_checkpoint_path != "na":
+        logger.info("init from checkpoint %s", cfg.init_checkpoint_path)
+        restored = load_checkpoint(cfg.init_checkpoint_path)
+        params = jax.tree_util.tree_map(
+            lambda like, x: jnp.asarray(x, like.dtype), params,
+            restored["model_state_dict"],
+        )
+    tx = make_optimizer(cfg.optim)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1))
+    state = place_state(state, mesh, cfg.param_sharding)
+    step = make_videomae_train_step(
+        mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, GRAD_PROBES
+    )
+
+    # data ---------------------------------------------------------------------
+    datasets = make_dataset("videomae", cfg.data)
+    global_batch = cfg.data.batch_size * mesh.devices.size
+    loaders = {
+        phase: DataLoader(
+            ds, mesh, global_batch, shuffle=(phase == "train"), seed=cfg.seed,
+            num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch,
+            max_batches=cfg.max_epoch_iters,
+            # val keeps every sample by padding the last global batch
+            drop_last=(phase == "train"),
+        )
+        for phase, ds in datasets.items()
+        if ds is not None
+    }
+    logger.info(
+        "datasets: train=%d val=%s, global batch %d, %d iters/epoch",
+        len(datasets["train"]),
+        len(datasets["val"]) if datasets.get("val") else 0,
+        global_batch, len(loaders["train"]),
+    )
+
+    timer = StepTimer()
+    loss_meter = {}
+    for epoch in range(cfg.n_epoch):
+        loss_meter = {p: AverageMeter() for p in ("train", "val")}
+        for phase, loader in loaders.items():
+            for itr, batch in enumerate(loader.epoch(epoch)):
+                if phase == "train":
+                    (state, metrics), ms = timer(lambda: step(state, batch))
+                else:
+                    metrics, ms = timer(lambda: step.eval_step(state, batch))
+                loss = float(metrics["loss"])
+                loss_meter[phase].update(loss)
+                if csv_logger is not None:
+                    csv_logger.log(
+                        epoch + 1, itr,
+                        loss if phase == "train" else 0.0,
+                        loss if phase == "val" else 0.0,
+                        float(metrics.get("grad_efl", 0.0)) if phase == "train" else 0.0,
+                        float(metrics.get("grad_ell", 0.0)) if phase == "train" else 0.0,
+                        float(metrics.get("grad_dll", 0.0)) if phase == "train" else 0.0,
+                    )
+                if itr % cfg.log_freq == 0:
+                    logger.info(
+                        "[%d, %5d] %s loss: %.3f (%.0f ms/it)",
+                        epoch + 1, itr, phase, loss_meter[phase].avg, ms,
+                    )
+                if np.isnan(loss) or np.isinf(loss):
+                    raise FloatingPointError(f"loss is {loss} at epoch {epoch} itr {itr}")
+            logger.info("epoch %d %s avg loss %.4f", epoch + 1, phase,
+                        loss_meter[phase].avg)
+
+    # checkpoint ---------------------------------------------------------------
+    chpt = checkpoint_path(folder, cfg.run_id)
+    save_checkpoint(
+        chpt,
+        {
+            "model_state_dict": jax.device_get(state.params),
+            "opt": jax.device_get(state.opt_state),
+            "epoch": np.int32(cfg.n_epoch),
+        },
+        meta={
+            "run_id": cfg.run_id,
+            "epoch": cfg.n_epoch,
+            "train_loss": loss_meter.get("train", AverageMeter()).avg,
+            "val_loss": loss_meter.get("val", AverageMeter()).avg,
+            "batch_size": cfg.data.batch_size,
+            "world_size": int(mesh.devices.size),
+            "lr": cfg.optim.lr,
+            "family": "videomae",
+            "script": cfg.script,
+        },
+    )
+    logger.info("checkpoint saved at %s", chpt)
+    return {
+        "checkpoint": str(chpt),
+        "train_loss": loss_meter.get("train", AverageMeter()).avg,
+        "val_loss": loss_meter.get("val", AverageMeter()).avg,
+    }

@@ -24,14 +24,33 @@ import jax
 
 
 class StepTimer:
-    """Times closures in milliseconds, device-synchronized."""
+    """Times closures in milliseconds, device-synchronized.
+
+    Synchronization note: on some remote-attached TPU backends (the axon
+    tunnel in this environment) ``jax.block_until_ready`` returns before
+    execution finishes; fetching a scalar leaf to the host is the reliable
+    barrier, so we do both.
+    """
 
     def __call__(self, closure: Callable[[], Any]) -> tuple[Any, float]:
         t0 = time.perf_counter()
         result = closure()
-        jax.block_until_ready(result)
+        sync(result)
         elapsed_ms = (time.perf_counter() - t0) * 1e3
         return result, elapsed_ms
+
+
+def sync(tree: Any) -> None:
+    """Barrier on a pytree: block + force a scalar readback."""
+    jax.block_until_ready(tree)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ndim") and leaf.ndim == 0:
+            jax.device_get(leaf)
+            return
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves and hasattr(leaves[0], "addressable_shards"):
+        # fetch one element of the first leaf
+        jax.device_get(leaves[0].addressable_shards[0].data.ravel()[:1])
 
 
 def device_memory_stats(device: jax.Device | None = None) -> dict[str, float]:

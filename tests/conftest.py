@@ -23,6 +23,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Tests compare against exact numpy references; keep f32 matmuls exact.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache keeps repeat suite runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/bvc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -41,7 +44,8 @@ def frame_corpus(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("jpg_root")
     rng = np.random.default_rng(42)
-    for subj in ["008MS", "009SS"]:
+    # two g0 subjects + one g1 subject (for curriculum stage chaining)
+    for subj in ["008MS", "009SS", "026AR"]:
         d = root / subj
         d.mkdir()
         for i in range(60):

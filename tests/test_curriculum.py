@@ -1,0 +1,99 @@
+"""Curriculum driver: stage plans, config materialisation, 2-stage run."""
+
+import json
+
+import numpy as np
+import pytest
+
+from bvc_tpu.curriculum.driver import build_stage_config, run_curriculum, stage_plan
+from bvc_tpu.curriculum.presets import CURRICULA, FAMILY_PRESETS
+from bvc_tpu.utils.config import TrainConfig
+
+
+class TestStagePlan:
+    def test_dev_plan_matches_bash(self):
+        # slurm_dev_def.bash: stage groups g0,g1,g2; fold=(seed+stage)%3;
+        # run_id=${curr}_${stage}_${group}_${condition}_${fold}_${seed}
+        plan = stage_plan("dev", FAMILY_PRESETS["generative"], seed=101)
+        assert [p["train_group"] for p in plan] == ["g0", "g1", "g2"]
+        assert [p["fold"] for p in plan] == [(101 + s) % 3 for s in (1, 2, 3)]
+        assert plan[0]["run_id"] == "dev_1_g0_default_0_101"
+        assert plan[2]["run_id"] == "dev_3_g2_default_2_101"
+
+    def test_adev_and_adult(self):
+        plan = stage_plan("adev", FAMILY_PRESETS["generative"], seed=0)
+        assert [p["train_group"] for p in plan] == ["g2", "g1", "g0"]
+        plan = stage_plan("adult", FAMILY_PRESETS["generative"], seed=0)
+        assert [p["train_group"] for p in plan] == ["g3", "g3", "g3"]
+
+    def test_contrastive_stage_overrides(self):
+        # lr 1e-2→1e-3→1e-4, interval 900→90→9
+        # (slurmscripts/contrastive/slurm_dev_def.bash:101-157)
+        preset = FAMILY_PRESETS["contrastive"]
+        plan = stage_plan("dev", preset, seed=0)
+        base = TrainConfig(savedir="/tmp/x")
+        cfgs = [build_stage_config(preset, info, base) for info in plan]
+        assert [c.optim.lr for c in cfgs] == [0.01, 1e-3, 1e-4]
+        assert [c.data.interval for c in cfgs] == [900, 90, 9]
+
+    def test_preset_env_blocks(self):
+        g = FAMILY_PRESETS["generative"]
+        assert (g.n_epoch, g.batch_size, g.lr, g.max_epoch_iters) == (5, 16, 0.1, 2000)
+        p = FAMILY_PRESETS["predictive"]
+        assert (p.n_epoch, p.max_epoch_iters, p.interval, p.augs) == (2, 5000, 300, "cg")
+        assert FAMILY_PRESETS["generative_long"].n_epoch == 20
+
+    def test_matched_condition_frame_override(self):
+        preset = FAMILY_PRESETS["complexity_control"]
+        info = stage_plan("dev", preset, 0, condition="MatchedSpatioTemporal")[0]
+        base = TrainConfig(savedir="/tmp/x")
+        base.data.condition = "MatchedSpatioTemporal"
+        cfg = build_stage_config(preset, info, base)
+        assert cfg.data.num_frames == 1 and cfg.model.num_frames == 1
+
+
+class TestRunCurriculum:
+    def test_two_stage_videomae_chain(self, frame_corpus, tmp_path):
+        # shrink the generative preset to toy scale
+        import dataclasses
+
+        from bvc_tpu.curriculum import presets
+
+        tiny = dataclasses.replace(
+            FAMILY_PRESETS["generative"],
+            n_epoch=1, batch_size=1, max_epoch_iters=2, n_trainsamples=16,
+            num_frames=4, tubelet_size=2,
+        )
+        presets.FAMILY_PRESETS["_tiny_gen"] = tiny
+        try:
+            base = TrainConfig(savedir=str(tmp_path), seed=0, log_freq=1)
+            base.data.jpg_root = frame_corpus
+            base.data.image_size = 32
+            # small segments so every fold of the 60-frame g1 subject is
+            # non-empty (segment = 0.011*60*30 ≈ 19 frames)
+            base.data.segment_minutes = 0.011
+            base.data.num_workers = 2
+            base.model.image_size = 32
+            base.model.patch_size = 8
+            base.model.hidden_size = 32
+            base.model.depth = 2
+            base.model.num_heads = 4
+            base.model.decoder_hidden_size = 16
+            base.model.decoder_depth = 1
+            base.model.decoder_num_heads = 2
+            base.model.dtype = "float32"
+            base.mask.mask_ratio = 0.75
+            results = run_curriculum("dev", "_tiny_gen", base, n_stages=2)
+        finally:
+            del presets.FAMILY_PRESETS["_tiny_gen"]
+
+        assert len(results["stages"]) == 2
+        # stage 2 was initialised from stage 1's checkpoint
+        s1, s2 = results["stages"]
+        assert s1["run_id"].startswith("dev_1_g0")
+        assert s2["run_id"].startswith("dev_2_g1")
+        assert (tmp_path / f"model_{s2['run_id']}.ckpt").is_dir()
+        manifest = json.loads(
+            (tmp_path / "curriculum_dev_default_0.json").read_text()
+        )
+        assert manifest["final_checkpoint"].endswith(f"model_{s2['run_id']}.ckpt")

@@ -1,0 +1,179 @@
+"""Transforms, datasets, loader, and factories over a synthetic corpus."""
+
+import numpy as np
+import pytest
+
+from bvc_tpu.data.datasets import ClipDataset, PairDataset, StillVideoDataset, TwoSeqDataset
+from bvc_tpu.data.factory import make_dataset
+from bvc_tpu.data.indexing import get_fpathlist
+from bvc_tpu.data.loader import DataLoader, EpochSampler
+from bvc_tpu.data.transforms import (
+    FrameTransform,
+    center_crop,
+    denormalize,
+    normalize,
+    resize_shorter,
+)
+from bvc_tpu.parallel import make_mesh
+from bvc_tpu.utils.config import DataConfig
+
+
+class TestTransforms:
+    def test_normalize_roundtrip(self):
+        img = np.random.default_rng(0).integers(0, 255, (8, 8, 3), dtype=np.uint8)
+        arr = normalize(img)
+        assert arr.dtype == np.float32
+        # (0.5 gray maps to 0)
+        assert abs(normalize(np.full((2, 2, 3), 128, np.uint8)).mean()) < 0.02
+        np.testing.assert_array_equal(denormalize(arr), img)
+
+    def test_resize_center_crop_geometry(self):
+        img = np.zeros((60, 100, 3), np.uint8)
+        r = resize_shorter(img, 30)
+        assert r.shape == (30, 50, 3)
+        c = center_crop(r, 30)
+        assert c.shape == (30, 30, 3)
+
+    def test_default_transform_shape_and_determinism(self):
+        rng1 = np.random.default_rng(5)
+        rng2 = np.random.default_rng(5)
+        img = np.random.default_rng(0).integers(0, 255, (40, 50, 3), dtype=np.uint8)
+        t = FrameTransform(image_size=32)
+        a, b = t(img, rng1), t(img, rng2)
+        assert a.shape == (32, 32, 3)
+        np.testing.assert_array_equal(a, b)
+
+    def test_augmented_transform_runs_all_flags(self):
+        img = np.random.default_rng(0).integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        t = FrameTransform(image_size=32, augs="cjbgo", crop_size=32, crop_scale=(0.7, 1.0))
+        outs = [t(img, np.random.default_rng(i)) for i in range(4)]
+        assert all(o.shape == (32, 32, 3) for o in outs)
+        # augmentations actually vary the output
+        assert not np.array_equal(outs[0], outs[1])
+
+
+class TestDatasets:
+    def test_clip_dataset(self, frame_corpus):
+        fps = get_fpathlist(frame_corpus, "008MS")
+        seqs = [fps[i : i + 4] for i in range(0, 40, 4)]
+        ds = ClipDataset(seqs, FrameTransform(image_size=16))
+        clip = ds[(0, np.random.default_rng(0))]
+        assert clip.shape == (4, 16, 16, 3)
+
+    def test_clip_shuffle_control(self, frame_corpus):
+        fps = get_fpathlist(frame_corpus, "008MS")
+        ds = ClipDataset([fps[:8]], FrameTransform(image_size=16), shuffle_frames=True)
+        a = ds[(0, np.random.default_rng(1))]
+        b = ClipDataset([fps[:8]], FrameTransform(image_size=16))[(0, np.random.default_rng(1))]
+        assert a.shape == b.shape
+        assert not np.array_equal(a, b)  # order permuted
+        # same frames as a set
+        assert np.allclose(sorted(a.sum((1, 2, 3))), sorted(b.sum((1, 2, 3))))
+
+    def test_pair_and_still(self, frame_corpus):
+        fps = get_fpathlist(frame_corpus, "008MS")
+        pair = PairDataset([[fps[0], fps[9]]], FrameTransform(image_size=16))
+        assert pair[(0, np.random.default_rng(0))].shape == (2, 16, 16, 3)
+        still = StillVideoDataset([[fps[0]]], FrameTransform(image_size=16), num_frames=5)
+        s = still[(0, np.random.default_rng(0))]
+        assert s.shape == (5, 16, 16, 3)
+        assert (s == s[0]).all()
+
+    def test_twoseq_safe_idx(self, frame_corpus):
+        fps = get_fpathlist(frame_corpus, "008MS")  # 60 frames
+        ds = TwoSeqDataset(fps, FrameTransform(image_size=16), interval=10, seq_size=2)
+        assert len(ds) == 48
+        out = ds[(15, np.random.default_rng(0))]
+        assert out.shape == (4, 16, 16, 3)
+
+
+class TestSampler:
+    def test_epoch_determinism_and_coverage(self):
+        s = EpochSampler(100, 8, shuffle=True, seed=3)
+        b1, b2 = s.batches(0), s.batches(0)
+        assert all((a == b).all() for a, b in zip(b1, b2))
+        assert len(b1) == 12  # drop_last
+        flat = np.concatenate(b1)
+        assert len(set(flat.tolist())) == 96
+        # different epoch → different order
+        assert not all((a == b).all() for a, b in zip(b1, s.batches(1)))
+
+    def test_no_drop_last_pads(self):
+        s = EpochSampler(10, 4, shuffle=False, seed=0, drop_last=False)
+        b = s.batches(0)
+        assert len(b) == 3 and len(np.concatenate(b)) == 12
+
+
+class TestLoader:
+    def test_yields_sharded_batches(self, frame_corpus):
+        mesh = make_mesh()
+        fps = get_fpathlist(frame_corpus, "008MS")
+        seqs = [fps[i : i + 2] for i in range(0, 56, 2)]
+        ds = ClipDataset(seqs, FrameTransform(image_size=16))
+        loader = DataLoader(ds, mesh, global_batch_size=8, num_workers=4, seed=0)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 3 == len(loader)
+        for b in batches:
+            assert b.shape == (8, 2, 16, 16, 3)
+            assert str(b.sharding.spec) == "PartitionSpec('data',)"
+
+    def test_max_batches_cap(self, frame_corpus):
+        mesh = make_mesh()
+        fps = get_fpathlist(frame_corpus, "008MS")
+        ds = ClipDataset([fps[:2]] * 40, FrameTransform(image_size=16))
+        loader = DataLoader(ds, mesh, 8, max_batches=2, num_workers=2)
+        assert len(list(loader.epoch(0))) == 2
+
+
+class TestFactory:
+    def _cfg(self, frame_corpus, **kw):
+        base = dict(
+            jpg_root=frame_corpus, train_group="g0", num_frames=4,
+            n_trainsamples=10, image_size=16, segment_minutes=0.02,
+            native_fps=30.0,
+        )
+        base.update(kw)
+        return DataConfig(**base)
+
+    def test_generative_with_val(self, frame_corpus):
+        # g0 subjects present in corpus: 008MS, 009SS → 120 frames,
+        # segment_size = 36 → folds
+        cfg = self._cfg(frame_corpus, keep_val=True)
+        ds = make_dataset("videomae", cfg)
+        assert len(ds["train"]) == 10
+        sample = ds["train"][(0, np.random.default_rng(0))]
+        assert sample.shape == (4, 16, 16, 3)
+
+    def test_generative_no_val(self, frame_corpus):
+        ds = make_dataset("videomae", self._cfg(frame_corpus, keep_val=False))
+        assert ds["val"] is None
+
+    def test_predictive_pairs(self, frame_corpus):
+        cfg = self._cfg(frame_corpus, tubelet_size=1, interval=5, augs="cg",
+                        n_trainsamples=8)
+        ds = make_dataset("jepa", cfg)
+        assert len(ds["train"]) == 8
+        assert ds["train"][(0, np.random.default_rng(0))].shape == (2, 16, 16, 3)
+
+    def test_contrastive_pairs(self, frame_corpus):
+        cfg = self._cfg(frame_corpus, interval=3, augs="cjo", n_trainsamples=6)
+        ds = make_dataset("simclr", cfg)
+        assert ds["train"][(1, np.random.default_rng(1))].shape == (2, 16, 16, 3)
+
+    def test_control_static(self, frame_corpus, tmp_path):
+        import pickle
+
+        from bvc_tpu.data.indexing import get_fpathlist as gf
+
+        fps = [p.replace(frame_corpus, "") for p in gf(frame_corpus, "008MS")]
+        seqs = [fps[i : i + 4] for i in range(0, 56, 4)]
+        with open(tmp_path / "g0_samples.pkl", "wb") as f:
+            pickle.dump(seqs, f)
+        cfg = self._cfg(
+            frame_corpus, condition="static", control_data_root=str(tmp_path),
+            n_trainsamples=4,
+        )
+        ds = make_dataset("videomae", cfg)
+        s = ds["train"][(0, np.random.default_rng(0))]
+        assert s.shape == (16, 16, 16, 3)
+        assert (s == s[0]).all()

@@ -1,0 +1,204 @@
+"""Eval subsystem: scores, evaluators, extraction CSV contract, benchmark
+dataset readers over synthetic corpora."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bvc_tpu.evalbench.datasets import (
+    Cifar10Dataset,
+    SSv2Dataset,
+    ToyboxDataset,
+    drop_none_collate,
+)
+from bvc_tpu.evalbench.evaluators import (
+    SSv2Eval,
+    ToyBoxEval,
+    UCF101Eval,
+    parse_fname,
+    proc_result_folder,
+)
+from bvc_tpu.evalbench.extract import run_id_from_checkpoint, save_results
+from bvc_tpu.evalbench.scores import get_nn_score, get_separability_score
+
+
+def _emb_df(rng, n, d, labels, centers=None):
+    """Embeddings whose class clusters are linearly separable.
+
+    Pass the same ``centers`` for train and test so they share geometry.
+    """
+    if centers is None:
+        centers = rng.standard_normal((len(set(labels)), d)) * 5
+    lab_idx = {l: i for i, l in enumerate(sorted(set(labels)))}
+    X = np.stack([centers[lab_idx[l]] + 0.1 * rng.standard_normal(d) for l in labels])
+    df = pd.DataFrame(X, columns=[f"dim{i}" for i in range(d)])
+    df["fnames"] = [f"s{i}" for i in range(n)]
+    return df
+
+
+class TestScores:
+    def test_nn_score_perfect_clusters(self, tmp_path):
+        rng = np.random.default_rng(0)
+        labels = ["a", "b", "c"] * 10
+        df_tr = _emb_df(rng, 30, 8, labels)
+        df_tr["cat"] = labels
+        df_te = _emb_df(np.random.default_rng(0), 30, 8, labels)
+        df_te["cat"] = labels
+        topk = get_nn_score(df_tr, df_te, "cat", savedir=str(tmp_path), run_id="r0")
+        assert topk[1] == 1.0 and topk[5] == 1.0
+        saved = json.loads((tmp_path / "r0_topk_correct.json").read_text())
+        assert saved["1"] == 1.0
+
+    def test_separability_clusters(self):
+        rng = np.random.default_rng(1)
+        labels = ["x", "y"] * 20
+        centers = rng.standard_normal((2, 8)) * 5
+        df_tr = _emb_df(rng, 40, 8, labels, centers)
+        df_tr["cat"] = labels
+        df_te = _emb_df(np.random.default_rng(2), 40, 8, labels, centers)
+        df_te["cat"] = labels
+        train_s, test_s = get_separability_score(df_tr, df_te, "cat", n_jobs=1)
+        assert train_s == 1.0 and test_s == 1.0
+
+
+class TestEvaluators:
+    def test_parse_fname(self):
+        rec = parse_fname("/x/embeddings_adev_1_g2_default_0_246.csv")
+        assert rec["Curriculum"] == "adev" and rec["Stage"] == 1
+        assert rec["Train Groups"] == "g2"
+        rec_unt = parse_fname("/x/embeddings_na.csv")
+        assert rec_unt["Curriculum"] == "untrained"
+
+    def test_toybox_label_parsing(self):
+        ev = ToyBoxEval()
+        fn = "truck_30_pivothead_rzminus.mp4"
+        assert ev.get_categorylabel(fn) == "truck"
+        assert ev.get_identitylabel(fn) == "truck30"
+        assert ev.get_translabel(fn) == "rzminus"
+
+    def test_toybox_exemplar_split_disjoint(self):
+        rng = np.random.default_rng(0)
+        fnames = [f"{c}_{i:02d}_pivothead_t.mp4" for c in ["cat", "dog"] for i in range(9)]
+        df = _emb_df(rng, len(fnames), 4, ["z"] * len(fnames))
+        df["fnames"] = fnames
+        ev = ToyBoxEval()
+        df = ev.add_labels_to_df(df, ["category", "identity"])
+        tr, te = ev.get_exemplar_split(df, test_size=0.33, random_state=0)
+        assert set(tr["identity"]) & set(te["identity"]) == set()
+
+    def test_ucf_eval_uses_fnames_as_labels(self):
+        ev = UCF101Eval()
+        df = pd.DataFrame({"fnames": ["Jump", "Run"], "dim0": [0.1, 0.2]})
+        out = ev.add_labels_to_df(df)
+        assert list(out["category"]) == ["Jump", "Run"]
+
+    def test_proc_result_folder_sweep(self, tmp_path):
+        rng = np.random.default_rng(0)
+        labels = ["Jump", "Run"] * 15
+        centers = rng.standard_normal((2, 6)) * 5
+        for rid in ["dev_1_g0_default_1_0", "dev_2_g1_default_2_0"]:
+            for sub, seed in [("", 1), ("test", 2)]:
+                df = _emb_df(np.random.default_rng(seed), 30, 6, labels, centers)
+                df["fnames"] = labels  # ucf: fname==label
+                d = tmp_path / sub
+                d.mkdir(exist_ok=True)
+                df.to_csv(d / f"embeddings_{rid}.csv", index=False)
+        out = proc_result_folder(str(tmp_path), "ucf101", iter_per_stage=100,
+                                 eval_type="linear", n_jobs=1)
+        assert len(out) == 2
+        assert set(out["Stage"]) == {1, 2}
+        assert (out["category"] == 1.0).all()
+        assert list(out["Iteration"]) == [100, 200]
+
+
+class TestSaveResults:
+    def test_csv_contract_sorted_deduped(self, tmp_path):
+        emb = np.arange(12, dtype=np.float32).reshape(4, 3)
+        fnames = ["b", "a", "b", "c"]
+        path = save_results(fnames, emb, "train", "dev_1_g0_default_0_0", str(tmp_path))
+        df = pd.read_csv(path)
+        assert list(df.columns) == ["fnames", "dim0", "dim1", "dim2"]
+        assert list(df["fnames"]) == ["a", "b", "c"]  # sorted + deduped
+        path_t = save_results(fnames, emb, "test", "dev_1_g0_default_0_0", str(tmp_path))
+        assert "/test/" in path_t
+
+    def test_run_id_from_checkpoint(self):
+        assert run_id_from_checkpoint("/x/model_dev_1_g0_default_0_0.ckpt") == "dev_1_g0_default_0_0"
+        assert run_id_from_checkpoint("model_a_1_g0_c_0_0.pth.tar") == "a_1_g0_c_0_0"
+
+
+@pytest.fixture(scope="module")
+def ssv2_corpus(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ssv2")
+    rng = np.random.default_rng(0)
+    for split in ["train", "val"]:
+        for vid in range(3):
+            d = root / split / str(vid)
+            d.mkdir(parents=True)
+            for i in range(12):
+                arr = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.jpg")
+    return str(root)
+
+
+class TestBenchmarkDatasets:
+    def test_ssv2_reader(self, ssv2_corpus):
+        ds = SSv2Dataset(ssv2_corpus, frame_rate=12, sample_len=8, train=True,
+                         image_size=16)
+        assert len(ds) == 3
+        clip, fname = ds[0]
+        assert clip.shape == (8, 16, 16, 3)
+        assert fname == "0"
+
+    def test_ssv2_short_video_pads(self, ssv2_corpus):
+        ds = SSv2Dataset(ssv2_corpus, frame_rate=12, sample_len=20, train=False,
+                         image_size=16)
+        clip, _ = ds[0]
+        assert clip.shape == (20, 16, 16, 3)
+
+    def test_cifar10_reader(self, tmp_path):
+        import pickle
+
+        base = tmp_path / "cifar-10-batches-py"
+        base.mkdir()
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 255, (10, 3072), dtype=np.uint8)
+        with open(base / "test_batch", "wb") as f:
+            pickle.dump({b"data": data, b"labels": list(range(10))}, f)
+        ds = Cifar10Dataset(str(tmp_path), sample_len=4, train=False, image_size=16)
+        clip, label = ds[3]
+        assert clip.shape == (4, 16, 16, 3)
+        assert label == "cat"
+        assert (clip == clip[0]).all()
+
+    def test_drop_none_collate(self):
+        good = (np.zeros((2, 4, 4, 3), np.float32), "a")
+        bad = (None, None)
+        clips, names = drop_none_collate([good, bad, good])
+        assert clips.shape == (2, 2, 4, 4, 3)
+        assert names == ["a", "a"]
+
+    def test_toybox_reader_with_synthetic_mp4(self, tmp_path):
+        import cv2
+
+        d = tmp_path / "animals" / "cat_01"
+        d.mkdir(parents=True)
+        path = str(d / "cat_01_pivothead_present.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+        if not vw.isOpened():
+            pytest.skip("no mp4 encoder available")
+        rng = np.random.default_rng(0)
+        for _ in range(30):
+            vw.write(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8))
+        vw.release()
+        ds = ToyboxDataset(str(tmp_path), frame_rate=10, sample_len=8, image_size=16)
+        assert len(ds) == 1
+        clip, fname = ds[0]
+        assert clip.shape == (8, 16, 16, 3)
+        assert fname == "cat_01_pivothead_present.mp4"

@@ -101,9 +101,10 @@ class TestSeqList:
         assert len(seqs) == 10
         assert seqs[0] == list(range(16))
         assert seqs[1] == list(range(10, 26))
-        # final windows run off the end and come back shorter, exactly as the
-        # reference's slicing produces.
-        assert seqs[-1] == list(range(90, 100))
+        # final windows are clamped to fit (the reference's slicing would
+        # produce a short ragged clip here and crash its collate)
+        assert seqs[-1] == list(range(84, 100))
+        assert all(len(s) == 16 for s in seqs)
 
     def test_ds_rate_subsamples_within_window(self):
         items = list(range(64))

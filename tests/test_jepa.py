@@ -1,0 +1,239 @@
+"""JEPA family: multi-block collator, encoder/predictor, EMA train step,
+end-to-end stage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bvc_tpu.masks.multiblock import (
+    MultiBlockMaskCollator,
+    _block_size_from_u,
+    update_mask_indices,
+)
+from bvc_tpu.models import jepa
+from bvc_tpu.parallel import make_mesh, shard_batch
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_jepa_train_step, place_state, smooth_l1
+from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig, TrainConfig
+
+
+def jepa_cfg(**kw):
+    d = dict(
+        family="jepa", image_size=32, patch_size=8, num_frames=2, tubelet_size=1,
+        hidden_size=32, depth=2, num_heads=4, pred_depth=1, pred_emb_dim=16,
+        dtype="float32",
+    )
+    d.update(kw)
+    return ModelConfig(**d)
+
+
+class TestBlockSize:
+    def test_reference_formula(self):
+        # u=0 → scale=min_s, ar=min_ar; 14x14 grid, pred scale (.15,.2), AR (.75,1.5)
+        h, w = _block_size_from_u(0.0, 14, 14, (0.15, 0.2), (0.75, 1.5))
+        # max_keep=int(196*.15)=29, ar=.75 → h=round(sqrt(21.75))=5, w=round(sqrt(38.7))=6
+        assert (h, w) == (5, 6)
+        h, w = _block_size_from_u(1.0, 14, 14, (0.85, 1.0), (1.0, 1.0))
+        assert (h, w) == (13, 13)  # sqrt(196)=14 clamped to <14
+
+
+class TestCollator:
+    def make(self, **kw):
+        d = dict(input_size=32, patch_size=8, enc_mask_scale=(0.85, 1.0),
+                 pred_mask_scale=(0.2, 0.25), aspect_ratio=(0.75, 1.5),
+                 nenc=1, npred=2, min_keep=2, seed=0)
+        d.update(kw)
+        return MultiBlockMaskCollator(**d)
+
+    def test_shapes_and_padding(self):
+        c = self.make()
+        enc, pred = c(batch_size=3)
+        assert enc.shape == (1, 3, c.enc_cap)
+        assert pred.shape == (2, 3, c.pred_cap)
+        # valid prefixes, -1 suffixes
+        for b in range(3):
+            v = enc[0, b]
+            n = (v >= 0).sum()
+            assert (v[:n] >= 0).all() and (v[n:] == -1).all()
+
+    def test_batch_min_truncation_equalizes_valid_lengths(self):
+        c = self.make()
+        enc, pred = c(batch_size=4)
+        assert len({int((enc[0, b] >= 0).sum()) for b in range(4)}) == 1
+        assert len({int((pred[m, b] >= 0).sum()) for m in range(2) for b in range(4)}) == 1
+
+    def test_deterministic_per_step(self):
+        c1, c2 = self.make(), self.make()
+        e1, p1 = c1(2, step=5)
+        e2, p2 = c2(2, step=5)
+        np.testing.assert_array_equal(e1, e2)
+        np.testing.assert_array_equal(p1, p2)
+        e3, _ = c1(2, step=6)
+        assert not np.array_equal(e1, e3)
+
+    def test_no_overlap_constraint(self):
+        c = self.make(npred=2, min_keep=1)
+        enc, pred = c(2, step=0)
+        for b in range(2):
+            pred_set = set(pred[:, b][pred[:, b] >= 0].tolist())
+            enc_set = set(enc[0, b][enc[0, b] >= 0].tolist())
+            assert not (pred_set & enc_set)
+
+    def test_blocks_are_rectangles(self):
+        c = self.make(allow_overlap=True)
+        _, pred = c(1, step=0)
+        idx = pred[0, 0][pred[0, 0] >= 0]
+        rows, cols = idx // c.width, idx % c.width
+        assert len(idx) == (rows.max() - rows.min() + 1) * (cols.max() - cols.min() + 1)
+
+    def test_update_mask_indices(self):
+        m = np.array([[0, 5, -1]], np.int32)
+        out = update_mask_indices(m, 32, 8, 2, 1, isencoder=False)
+        np.testing.assert_array_equal(out, [[16, 21, -1]])  # +(T-1)*16
+        out_e = update_mask_indices(m, 32, 8, 2, 1, isencoder=True)
+        np.testing.assert_array_equal(out_e, [[0, 5, -1]])
+
+
+class TestSmoothL1:
+    def test_matches_torch_formula(self):
+        d = jnp.array([-2.0, -0.5, 0.0, 0.3, 1.5])
+        out = np.asarray(smooth_l1(d, jnp.zeros_like(d)))
+        expected = [1.5, 0.125, 0.0, 0.045, 1.0]
+        np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+class TestJepaModel:
+    def test_encoder_masked_and_full(self):
+        cfg = jepa_cfg()
+        p = jepa.init_encoder_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.array(np.random.default_rng(0).standard_normal((2, 2, 32, 32, 3)), jnp.float32)
+        full = jepa.encoder_forward(p, video, cfg)
+        assert full.shape == (2, 32, 32)
+        keep = jnp.array([[0, 1, 2, -1], [4, 5, 6, 7]], jnp.int32)
+        masked = jepa.encoder_forward(p, video, cfg, keep)
+        assert masked.shape == (2, 4, 32)
+
+    def test_padding_invisibility(self):
+        """A padded slot must not change the other tokens' outputs."""
+        cfg = jepa_cfg()
+        p = jepa.init_encoder_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.array(np.random.default_rng(0).standard_normal((1, 2, 32, 32, 3)), jnp.float32)
+        keep_a = jnp.array([[3, 7, 9, -1]], jnp.int32)
+        keep_b = jnp.array([[3, 7, 9, 11]], jnp.int32)
+        out_a = np.asarray(jepa.encoder_forward(p, video, cfg, keep_a))
+        out_b = np.asarray(jepa.encoder_forward(p, video, cfg, keep_b))
+        # first three positions in a == same tokens encoded without pad only
+        # if pad is invisible; compare against 3-token encode
+        out_c = np.asarray(jepa.encoder_forward(p, video, cfg, jnp.array([[3, 7, 9]], jnp.int32)))
+        np.testing.assert_allclose(out_a[:, :3], out_c, atol=1e-5)
+        assert not np.allclose(out_b[:, :3], out_c, atol=1e-5)
+
+    def test_predictor_shapes(self):
+        cfg = jepa_cfg()
+        pp = jepa.init_predictor_params(jax.random.PRNGKey(1), cfg)
+        z = jnp.ones((2, 5, 32))
+        enc_idx = jnp.array([[0, 1, 2, 3, -1]] * 2, jnp.int32)
+        pred_idx = jnp.array([[[16, 17, -1]] * 2, [[20, 21, 22]] * 2], jnp.int32)
+        out = jepa.predictor_forward(pp, z, enc_idx, pred_idx, cfg)
+        assert out.shape == (2, 2, 3, 32)
+
+    def test_target_features_are_layernormed(self):
+        cfg = jepa_cfg()
+        p = jepa.init_encoder_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.array(np.random.default_rng(0).standard_normal((1, 2, 32, 32, 3)), jnp.float32)
+        pred_idx = jnp.array([[[0, 1, 2, 3]]], jnp.int32)
+        t = np.asarray(jepa.target_features(p, video, pred_idx, cfg))
+        np.testing.assert_allclose(t.mean(-1), 0.0, atol=1e-4)
+        np.testing.assert_allclose(t.std(-1), 1.0, atol=2e-2)
+
+
+class TestJepaTrainStep:
+    def _setup(self):
+        mesh = make_mesh()
+        cfg = jepa_cfg()
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+        import copy
+
+        target = copy.deepcopy(params["encoder"])
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1), target_params=target)
+        state = place_state(state, mesh)
+        step = make_jepa_train_step(mesh, cfg, tx, total_steps=100)
+        return mesh, cfg, state, step
+
+    def _batch(self, mesh, B=8):
+        rng = np.random.default_rng(0)
+        collator = MultiBlockMaskCollator(
+            input_size=32, patch_size=8, enc_mask_scale=(0.85, 1.0),
+            pred_mask_scale=(0.2, 0.25), npred=2, min_keep=2, seed=0,
+        )
+        enc, pred = collator(B, step=0)
+        enc = update_mask_indices(enc, 32, 8, 2, 1, True)
+        pred = update_mask_indices(pred, 32, 8, 2, 1, False)
+        batch = {
+            "video": rng.standard_normal((B, 2, 32, 32, 3)).astype(np.float32),
+            "enc_idx": enc[0],
+            "pred_idx": pred.transpose(1, 0, 2),
+        }
+        return shard_batch(batch, mesh)
+
+    def test_loss_decreases_and_ema_moves(self):
+        mesh, cfg, state, step = self._setup()
+        batch = self._batch(mesh)
+        t0 = jax.device_get(state.target_params["patch_embed"]["kernel"])
+        losses = []
+        for _ in range(6):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        t1 = jax.device_get(state.target_params["patch_embed"]["kernel"])
+        assert not np.allclose(t0, t1)  # EMA actually updates
+        # but target stays close to its init (m≈0.996)
+        online = jax.device_get(state.params["encoder"]["patch_embed"]["kernel"])
+        assert np.abs(t1 - t0).max() < np.abs(online - t0).max() + 1e-9
+
+    def test_ema_ramp_increases(self):
+        mesh, cfg, state, step = self._setup()
+        batch = self._batch(mesh)
+        state, m0 = step(state, batch)
+        state, m1 = step(state, batch)
+        assert float(m0["ema_m"]) == pytest.approx(0.996, abs=1e-6)
+        assert float(m1["ema_m"]) > float(m0["ema_m"])
+
+
+class TestJepaTrainerEndToEnd:
+    def test_stage_and_chaining(self, frame_corpus, tmp_path):
+        from bvc_tpu.training.trainer_jepa import run_pretraining
+
+        cfg = TrainConfig(run_id="dev_1_g0_default_0_0", savedir=str(tmp_path),
+                          n_epoch=1, max_epoch_iters=2, seed=0, log_freq=1)
+        cfg.model = jepa_cfg()
+        cfg.data.jpg_root = frame_corpus
+        cfg.data.train_group = "g0"
+        cfg.data.num_frames = 2
+        cfg.data.tubelet_size = 1
+        cfg.data.interval = 5
+        cfg.data.image_size = 32
+        cfg.data.n_trainsamples = 20
+        cfg.data.batch_size = 1
+        cfg.data.num_workers = 4
+        cfg.data.segment_minutes = 0.02
+        cfg.data.augs = "cg"
+        cfg.data.crop_scale = (1.0, 1.0)
+        cfg.mask.enc_mask_scale = (0.85, 1.0)
+        cfg.mask.pred_mask_scale = (0.2, 0.25)
+        cfg.mask.min_keep = 2
+        cfg.optim.lr = 0.01
+        cfg.optim.exclude_bias_and_norm_from_wd = True
+        s1 = run_pretraining(cfg)
+        assert np.isfinite(s1["train_loss"])
+        csv = (tmp_path / "csvlog_dev_1_g0_default_0_0.csv").read_text().splitlines()
+        assert csv[0] == "epoch,itr,loss,grad-FL,grad-LL,mask-A,mask-B,time (ms)"
+        # stage 2 loads the 3-model checkpoint incl. optimizer
+        cfg2 = TrainConfig(**{**cfg.__dict__})
+        cfg2.run_id = "dev_2_g0_default_1_0"
+        cfg2.init_checkpoint_path = s1["checkpoint"]
+        s2 = run_pretraining(cfg2)
+        assert np.isfinite(s2["train_loss"])

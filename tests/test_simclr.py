@@ -1,0 +1,143 @@
+"""SimCLR family: InfoNCE quirk parity, ResNet, train step, end-to-end stage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bvc_tpu.models import resnet
+from bvc_tpu.objectives.contrastive import (
+    info_nce_loss,
+    interleaved_pair_masks,
+    standard_pair_masks,
+)
+from bvc_tpu.parallel import make_mesh, shard_batch
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_simclr_train_step, place_state
+from bvc_tpu.utils.config import OptimConfig, TrainConfig
+
+
+class TestMasks:
+    def test_special_matrix_parity(self):
+        # get_special_matrix(4): 1 where |i-j|==1 (pretrain_simclr.py:86-91)
+        pos, neg = interleaved_pair_masks(4)
+        np.testing.assert_array_equal(
+            pos.astype(int),
+            [[0, 1, 0, 0], [1, 0, 1, 0], [0, 1, 0, 1], [0, 0, 1, 0]],
+        )
+        # neg = ~(pos | eye)
+        np.testing.assert_array_equal(
+            neg.astype(int),
+            [[0, 0, 1, 1], [0, 0, 0, 1], [1, 0, 0, 0], [1, 1, 0, 0]],
+        )
+
+    def test_standard_masks(self):
+        pos, _ = standard_pair_masks(4)
+        np.testing.assert_array_equal(
+            pos.astype(int),
+            [[0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]],
+        )
+
+
+class TestInfoNCE:
+    def test_parity_mode_matches_reference_formula(self):
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((6, 8)).astype(np.float32)
+        loss = float(info_nce_loss(jnp.array(feats), temperature=0.1, mode="parity"))
+        # independent numpy computation of the reference's
+        # logsumexp(all negatives) - mean(positives)
+        f = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+        sim = (f @ f.T) / 0.1
+        pos, neg = interleaved_pair_masks(6)
+        negs = sim[neg]
+        m = negs.max()
+        log_z = m + np.log(np.exp(negs - m).sum())
+        expected = log_z - sim[pos].mean()
+        assert loss == pytest.approx(float(expected), rel=1e-5)
+
+    def test_standard_mode_decreases_with_aligned_pairs(self):
+        # perfectly aligned pairs + orthogonal others → low loss
+        e = np.eye(4, 8, dtype=np.float32)
+        aligned = np.repeat(e[:2], 2, axis=0)  # pairs identical
+        spread = np.eye(4, 8, dtype=np.float32)
+        l_aligned = float(info_nce_loss(jnp.array(aligned), mode="standard"))
+        l_spread = float(info_nce_loss(jnp.array(spread), mode="standard"))
+        assert l_aligned < l_spread
+
+
+class TestResNet:
+    def test_forward_shapes_and_stats_update(self):
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", 64)
+        x = jnp.array(np.random.default_rng(0).standard_normal((2, 32, 32, 3)), jnp.float32)
+        out, new_stats = resnet.apply(params, stats, x, "resnet18", training=True)
+        assert out.shape == (2, 64)
+        assert not np.allclose(
+            np.asarray(new_stats["stem"]["mean"]), np.asarray(stats["stem"]["mean"])
+        )
+
+    def test_eval_uses_running_stats(self):
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", 32)
+        x = jnp.ones((2, 32, 32, 3))
+        out1, s1 = resnet.apply(params, stats, x, "resnet18", training=False)
+        assert jax.tree_util.tree_all(
+            jax.tree_util.tree_map(lambda a, b: np.allclose(a, b), s1, stats)
+        )
+
+    def test_headless_features(self):
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", 32)
+        x = jnp.ones((1, 32, 32, 3))
+        feats, _ = resnet.apply(params, stats, x, "resnet18", with_head=False)
+        assert feats.shape == (1, 512)
+
+    def test_resnet50_bottleneck(self):
+        params, stats = resnet.init_params(jax.random.PRNGKey(1), "resnet50", 32)
+        x = jnp.ones((1, 32, 32, 3))
+        feats, _ = resnet.apply(params, stats, x, "resnet50", with_head=False)
+        assert feats.shape == (1, 2048)
+
+
+class TestSimclrTrainStep:
+    def test_loss_decreases(self):
+        mesh = make_mesh()
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", 32)
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1), extra=stats), mesh
+        )
+        step = make_simclr_train_step(mesh, "resnet18", tx)
+        batch = shard_batch(
+            np.random.default_rng(0).standard_normal((8, 2, 32, 32, 3)).astype(np.float32),
+            mesh,
+        )
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+
+class TestSimclrTrainerEndToEnd:
+    def test_stage(self, frame_corpus, tmp_path):
+        from bvc_tpu.training.trainer_simclr import run_pretraining
+
+        cfg = TrainConfig(run_id="dev_1_g0_default_0_0", savedir=str(tmp_path),
+                          n_epoch=1, max_epoch_iters=2, seed=0, log_freq=1)
+        cfg.model.family = "simclr"
+        cfg.model.architecture = "resnet18"
+        cfg.model.pred_emb_dim = 32
+        cfg.data.jpg_root = frame_corpus
+        cfg.data.train_group = "g0"
+        cfg.data.interval = 5
+        cfg.data.image_size = 32
+        cfg.data.n_trainsamples = 20
+        cfg.data.batch_size = 1
+        cfg.data.num_workers = 4
+        cfg.data.segment_minutes = 0.02
+        cfg.data.augs = "cjo"
+        cfg.optim.lr = 0.01
+        s = run_pretraining(cfg)
+        assert np.isfinite(s["train_loss"])
+        csv = (tmp_path / "csvlog_dev_1_g0_default_0_0.csv").read_text().splitlines()
+        assert csv[0] == "epoch,itr,train loss,grad-conv1,grad-fc0,time (ms)"
