@@ -56,6 +56,31 @@ def all_gather_objects(data: dict[str, Any]) -> list[dict[str, Any]]:
     return out
 
 
+def all_gather_grad(x, axis_name: str):
+    """Gradient-preserving all-gather inside ``shard_map``/``pmap`` code.
+
+    The analogue of the reference's custom autograd ``AllGather``
+    (``pretraining/predictive/distributed.py:49-77``: forward gather +
+    concat, backward reduce-scatter back to the local slice).  In JAX,
+    ``lax.all_gather`` is already differentiable with exactly these
+    semantics, so this is a thin named wrapper kept for parity and for
+    cross-chip-negative contrastive scaling (SURVEY.md §2.1).
+    """
+    import jax
+
+    return jax.lax.all_gather(x, axis_name, tiled=True)
+
+
+def psum_scalar(x, axis_name: str):
+    """Mean-reduce a scalar across the axis — the reference's ``AllReduce``
+    loss averaging (``generative/ddputils.py:53-68``).  Only needed inside
+    explicit shard_map regions; the jitted global-mean loss path gets this
+    reduction from XLA automatically."""
+    import jax
+
+    return jax.lax.pmean(x, axis_name)
+
+
 def sync_hosts(name: str = "barrier") -> None:
     """Barrier across hosts (no-op single-host)."""
     if jax.process_count() == 1:

@@ -124,9 +124,12 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                         float(metrics.get("grad_dll", 0.0)) if phase == "train" else 0.0,
                     )
                 if itr % cfg.log_freq == 0:
+                    from bvc_tpu.utils.profiling import device_memory_stats
+
+                    mem = device_memory_stats()["peak_bytes_in_use"] / 1024**2
                     logger.info(
-                        "[%d, %5d] %s loss: %.3f (%.0f ms/it)",
-                        epoch + 1, itr, phase, loss_meter[phase].avg, ms,
+                        "[%d, %5d] %s loss: %.3f [mem: %.2e MB] (%.0f ms/it)",
+                        epoch + 1, itr, phase, loss_meter[phase].avg, mem, ms,
                     )
                 if np.isnan(loss) or np.isinf(loss):
                     raise FloatingPointError(f"loss is {loss} at epoch {epoch} itr {itr}")

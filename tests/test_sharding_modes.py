@@ -1,0 +1,95 @@
+"""Parallelism semantics: shard_map collectives and parameter-sharding
+mode equivalence for the full train step."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from bvc_tpu.models import videomae
+from bvc_tpu.parallel import make_mesh, shard_batch
+from bvc_tpu.parallel.collectives import all_gather_grad, psum_scalar
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_videomae_train_step, place_state
+from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
+
+
+class TestShardMapCollectives:
+    def test_all_gather_grad_forward_and_backward(self):
+        mesh = make_mesh()
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=P("data"), out_specs=P()
+        )
+        def gather_loss(x):
+            full = all_gather_grad(x, "data")  # [16] on every shard
+            return psum_scalar(jnp.sum(full * full), "data")
+
+        x = jnp.arange(16, dtype=jnp.float32)
+        loss = gather_loss(x)
+        assert float(loss) == pytest.approx(float(jnp.sum(x * x)))
+        # backward: d/dx sum(x^2) = 2x, reduced correctly back to shards
+        g = jax.grad(lambda v: gather_loss(v))(x)
+        np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x), rtol=1e-6)
+
+    def test_psum_scalar_is_mean(self):
+        mesh = make_mesh()
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=P("data"), out_specs=P())
+        def mean_loss(x):
+            return psum_scalar(jnp.mean(x), "data")
+
+        x = jnp.arange(8, dtype=jnp.float32)
+        assert float(mean_loss(x)) == pytest.approx(3.5)
+
+
+class TestParamShardingModes:
+    """The same training computation under replicated / FSDP / TP layouts
+    must produce identical losses — sharding is an execution detail."""
+
+    def _run(self, mesh, param_mode, steps=3):
+        cfg = ModelConfig(
+            image_size=32, patch_size=8, num_frames=4, tubelet_size=2,
+            hidden_size=32, depth=2, num_heads=4,
+            decoder_hidden_size=16, decoder_depth=1, decoder_num_heads=2,
+            dtype="float32",
+        )
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh, param_mode
+        )
+        step = make_videomae_train_step(
+            mesh, cfg, MaskConfig(mask_ratio=0.75), tx, param_mode
+        )
+        data_size = mesh.shape["data"]
+        video = np.random.default_rng(0).standard_normal(
+            (2 * data_size, 4, 32, 32, 3)
+        ).astype(np.float32)
+        batch = shard_batch(video, mesh)
+        losses = []
+        for _ in range(steps):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    def test_fsdp_matches_replicated(self):
+        mesh = make_mesh()
+        a = self._run(mesh, "replicated")
+        b = self._run(mesh, "fsdp")
+        np.testing.assert_allclose(a, b, rtol=1e-4)
+
+    def test_tp_matches_replicated(self):
+        mesh_tp = make_mesh({"data": 4, "model": 2})
+        mesh_dp = make_mesh({"data": 4}, devices=jax.devices()[:4])
+        # same per-step batch of 8 clips in both runs
+        a = self._run(mesh_dp, "replicated")
+
+        # tp run needs its own batch built over the 4-wide data axis
+        b = self._run(mesh_tp, "tp")
+        np.testing.assert_allclose(a, b, rtol=1e-4)

@@ -1,0 +1,137 @@
+"""Numerical parity against the reference's actual model stack.
+
+Loads HF ``VideoMAEForPreTraining`` (the exact class the reference trains
+— ``generative/pretrain_videomae.py:61-64``) with a small config, converts
+its weights with :mod:`bvc_tpu.models.torch_interop`, and checks that our
+functional implementation reproduces its loss and its
+``num_labels=0`` classification embedding — the SURVEY's
+checkpoint/embedding fidelity target.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bvc_tpu.models import videomae  # noqa: E402
+from bvc_tpu.models.torch_interop import (  # noqa: E402
+    videomae_from_hf_state_dict,
+    videomae_to_hf_state_dict,
+)
+from bvc_tpu.utils.config import ModelConfig  # noqa: E402
+
+
+def small_cfgs():
+    hf = transformers.VideoMAEConfig(
+        image_size=32, patch_size=8, num_channels=3, num_frames=4,
+        tubelet_size=2, hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=48,
+        decoder_num_attention_heads=2, decoder_hidden_size=16,
+        decoder_num_hidden_layers=1, decoder_intermediate_size=32,
+        norm_pix_loss=True, use_mean_pooling=True,
+    )
+    ours = ModelConfig(
+        image_size=32, patch_size=8, num_frames=4, tubelet_size=2,
+        hidden_size=24, depth=2, num_heads=2, mlp_ratio=2.0,
+        decoder_hidden_size=16, decoder_depth=1, decoder_num_heads=2,
+        norm_pix_loss=True, dtype="float32", layer_norm_eps=1e-12,
+    )
+    return hf, ours
+
+
+@pytest.fixture(scope="module")
+def hf_model_and_params():
+    hf_cfg, our_cfg = small_cfgs()
+    torch.manual_seed(0)
+    model = transformers.VideoMAEForPreTraining(hf_cfg).eval()
+    params = videomae_from_hf_state_dict(
+        model.state_dict(), depth=2, decoder_depth=1
+    )
+    return model, params, hf_cfg, our_cfg
+
+
+class TestVideoMAEParity:
+    def _data(self, hf_cfg, seed=0):
+        rng = np.random.default_rng(seed)
+        video = rng.standard_normal((2, 4, 32, 32, 3)).astype(np.float32)
+        n_space = (32 // 8) ** 2
+        seq = (4 // 2) * n_space
+        # tube mask: same spatial mask across sheets, 75% masked
+        masks = []
+        for _ in range(2):
+            frame = np.zeros(n_space, bool)
+            frame[rng.permutation(n_space)[: int(0.75 * n_space)]] = True
+            masks.append(np.tile(frame, 2))
+        mask = np.stack(masks)
+        return video, mask
+
+    def test_pretrain_loss_matches_hf(self, hf_model_and_params):
+        model, params, hf_cfg, our_cfg = hf_model_and_params
+        video, mask = self._data(hf_cfg)
+        with torch.no_grad():
+            out = model(
+                pixel_values=torch.from_numpy(video).permute(0, 1, 4, 2, 3),
+                bool_masked_pos=torch.from_numpy(mask),
+            )
+        hf_loss = float(out.loss)
+        num_visible = mask.shape[1] - int(mask[0].sum())
+        ours, _ = videomae.pretrain_loss(
+            jax.tree_util.tree_map(jnp.asarray, params),
+            jnp.asarray(video), jnp.asarray(mask), our_cfg, num_visible,
+        )
+        assert float(ours) == pytest.approx(hf_loss, rel=2e-4)
+
+    def test_reconstruction_logits_match_hf(self, hf_model_and_params):
+        model, params, hf_cfg, our_cfg = hf_model_and_params
+        video, mask = self._data(hf_cfg, seed=3)
+        with torch.no_grad():
+            out = model(
+                pixel_values=torch.from_numpy(video).permute(0, 1, 4, 2, 3),
+                bool_masked_pos=torch.from_numpy(mask),
+            )
+        hf_logits = out.logits.numpy()  # [B, n_masked, patch_dim]
+
+        from bvc_tpu.masks.tube import mask_partition
+
+        num_visible = mask.shape[1] - int(mask[0].sum())
+        jparams = jax.tree_util.tree_map(jnp.asarray, params)
+        vis, msk = mask_partition(jnp.asarray(mask), num_visible)
+        enc = videomae.encode_visible(jparams, jnp.asarray(video), vis, our_cfg)
+        preds = np.asarray(videomae.decode_masked(jparams, enc, vis, msk, our_cfg))
+        # HF flattens patch pixels as (p0 p1 p2) c; ours matches that order
+        np.testing.assert_allclose(preds, hf_logits, rtol=2e-3, atol=2e-4)
+
+    def test_classification_embedding_matches_hf(self, hf_model_and_params):
+        model, params, hf_cfg, our_cfg = hf_model_and_params
+        video, _ = self._data(hf_cfg, seed=5)
+        # the reference's eval adaptation: copy embeddings+encoder into a
+        # VideoMAEForVideoClassification(num_labels=0)
+        # (compute_embeddings_videomae.py:61-96)
+        import copy
+
+        cls_cfg = copy.deepcopy(hf_cfg)
+        cls_cfg.num_labels = 0
+        cls = transformers.VideoMAEForVideoClassification(cls_cfg).eval()
+        cls.videomae.embeddings.load_state_dict(model.videomae.embeddings.state_dict())
+        cls.videomae.encoder.load_state_dict(model.videomae.encoder.state_dict())
+        with torch.no_grad():
+            hf_emb = cls(
+                pixel_values=torch.from_numpy(video).permute(0, 1, 4, 2, 3)
+            ).logits.numpy()
+        ours = np.asarray(
+            videomae.embed(
+                jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(video), our_cfg
+            )
+        )
+        np.testing.assert_allclose(ours, hf_emb, rtol=1e-3, atol=1e-4)
+
+    def test_roundtrip_export(self, hf_model_and_params):
+        model, params, hf_cfg, our_cfg = hf_model_and_params
+        sd = videomae_to_hf_state_dict(params, our_cfg)
+        orig = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        for k, v in sd.items():
+            np.testing.assert_allclose(v, orig[k], rtol=1e-6, err_msg=k)
