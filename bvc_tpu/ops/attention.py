@@ -51,11 +51,9 @@ def multi_head_attention(
     n = q.shape[1]
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = (
-            "flash"
-            if (on_tpu and key_mask is None and n >= 1024 and n % 128 == 0)
-            else "xla"
-        )
+        # flash wins once the N^2 score matrix stops fitting the cache
+        # hierarchy; measured crossover on v5e is well below 512 tokens
+        impl = "flash" if (on_tpu and key_mask is None and n >= 512) else "xla"
     if impl == "flash" and key_mask is None:
         from bvc_tpu.ops.flash_attention import flash_attention
 

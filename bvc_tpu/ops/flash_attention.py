@@ -1,20 +1,26 @@
-"""Pallas TPU flash attention (non-causal, no masking).
+"""Pallas TPU flash attention (non-causal) with custom VJP.
 
-Online-softmax attention: the ``[N, N]`` score matrix is never
-materialised in HBM.  Each grid step owns one query block held in VMEM,
-streams key/value blocks, and maintains running max / normaliser / output
-accumulator in fp32 (MXU matmuls via ``jnp.dot`` with
-``preferred_element_type``).
+Online-softmax attention: the ``[N, N]`` score matrix never touches HBM,
+in forward *or* backward.  Motivation (measured on v5e, VideoMAE-B
+decoder shape ``[16, 1568, 6, 64]``): XLA attention fwd+bwd is ~10.6 ms
+per layer — ~50% of the whole train step across the 12+4 layers — and
+runs at ~10% MXU because it streams the 16x6x1568^2 probability matrix
+through HBM.  Flash blocks keep scores in VMEM.
 
-This replaces the reference's eager ``attn = softmax(q @ k.T) @ v``
-(``pretraining/predictive/vision_transformer.py:203-207``) for sequence
-lengths where HBM traffic on the score matrix dominates.  For the
-reference-scale 1568-token ViT the XLA path in
-:mod:`bvc_tpu.ops.attention` is already compute-bound; this kernel is the
-scaling path (longer clips / higher resolution).
+Supports arbitrary sequence lengths via padding: inputs are padded to a
+block multiple and padded *keys* are masked with -inf inside the kernel
+(padded query rows produce garbage and are sliced off).
 
-Grid: ``(B, h, N // block_q)``; within a step, a ``lax.fori_loop`` over
-``N // block_k`` key blocks.
+Backward uses the standard flash recurrences with residuals (o, lse):
+
+    D_i  = rowsum(dO_i * O_i)
+    P_ij = exp(Q_i K_j^T s - lse_i)
+    dQ_i = s * sum_j (P_ij * (dO_i V_j^T - D_i)) K_j
+    dK_j = s * sum_i (P_ij * (dO_i V_j^T - D_i))^T Q_i
+    dV_j = sum_i P_ij^T dO_i
+
+Replaces the reference's eager ``softmax(q@k.T)@v``
+(``pretraining/predictive/vision_transformer.py:203-207``).
 """
 
 from __future__ import annotations
@@ -25,42 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # pltpu is importable on CPU too; interpret mode is used in tests
-    from jax.experimental.pallas import tpu as pltpu
-
-    _VMEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _VMEM = None
-
-
 _NEG_INF = -1e30
-
-
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [block_q, d]
-    block_q, d = q.shape
-    n_kv = k_ref.shape[2]
-    num_kb = n_kv // block_k
-
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
 def _pick_block(n: int, preferred: int) -> int:
@@ -70,40 +41,273 @@ def _pick_block(n: int, preferred: int) -> int:
     return max(b, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _kmask(base_col: int, bk: int, n_valid: int, rows: int):
+    """[rows, bk] additive mask: -inf where the key column is padding."""
+    col = base_col + jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
+    return jnp.where(col < n_valid, 0.0, _NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_valid):
+    # keep q/k/v in their storage dtype (bf16): MXU runs bf16 inputs with
+    # f32 accumulation ~8x faster than f32 inputs
+    q = q_ref[0, 0]  # [bq, d]
+    bq, d = q.shape
+    n_kv = k_ref.shape[2]
+    num_kb = n_kv // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + _kmask(i * block_k, block_k, n_valid, bq)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    # lse is stored with a trailing lane dim of 8 (Mosaic block-shape
+    # constraint: last dim must be 128-divisible or full-size)
+    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), (bq, 8))
+
+
+def _fwd(q, k, v, scale, block_q, block_k, n_valid, interpret):
+    B, h, Np, d = q.shape
+    bq = _pick_block(Np, block_q)
+    bk = _pick_block(Np, block_k)
+    grid = (B, h, Np // bq)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=bk, n_valid=n_valid),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
+            pl.BlockSpec((1, 1, Np, d), lambda b, hh, i: (b, hh, 0, 0)),
+            pl.BlockSpec((1, 1, Np, d), lambda b, hh, i: (b, hh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda b, hh, i: (b, hh, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, h, Np, d), q.dtype),
+            jax.ShapeDtypeStruct((B, h, Np, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               *, scale, block_k, n_valid):
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+    bq, d = q.shape
+    n_kv = k_ref.shape[2]
+    num_kb = n_kv // block_k
+
+    def body(i, acc):
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + _kmask(i * block_k, block_k, n_valid, bq)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(k.dtype)
+        return acc + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                *, scale, block_q, n_valid):
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    bk, d = k.shape
+    n_q = q_ref.shape[2]
+    num_qb = n_q // block_q
+    base_col = pl.program_id(2) * bk
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :1]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :1]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + _kmask(base_col, bk, n_valid, block_q)
+        p = jnp.exp(s - lse)
+        pc = p.astype(do.dtype)
+        dv = dv + jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, o, lse, do, scale, block_q, block_k, n_valid, interpret):
+    B, h, Np, d = q.shape
+    bq = _pick_block(Np, block_q)
+    bk = _pick_block(Np, block_k)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (8,))  # lane-pad
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=bk, n_valid=n_valid),
+        grid=(B, h, Np // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
+            pl.BlockSpec((1, 1, Np, d), lambda b, hh, i: (b, hh, 0, 0)),
+            pl.BlockSpec((1, 1, Np, d), lambda b, hh, i: (b, hh, 0, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda b, hh, i: (b, hh, i, 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda b, hh, i: (b, hh, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, h, Np, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=bq, n_valid=n_valid),
+        grid=(B, h, Np // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, Np, d), lambda b, hh, j: (b, hh, 0, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b, hh, j: (b, hh, j, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b, hh, j: (b, hh, j, 0)),
+            pl.BlockSpec((1, 1, Np, d), lambda b, hh, j: (b, hh, 0, 0)),
+            pl.BlockSpec((1, 1, Np, 8), lambda b, hh, j: (b, hh, 0, 0)),
+            pl.BlockSpec((1, 1, Np, 8), lambda b, hh, j: (b, hh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, d), lambda b, hh, j: (b, hh, j, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b, hh, j: (b, hh, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, h, Np, d), q.dtype),
+            jax.ShapeDtypeStruct((B, h, Np, d), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def _flash_bhnd(q, k, v, scale, block_q, block_k, interpret):
+    o, _ = _fwd(q, k, v, scale, block_q, block_k, q.shape[2], interpret)
+    return o
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
+    o, lse = _fwd(q, k, v, scale, block_q, block_k, q.shape[2], interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, interpret, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = _bwd(q, k, v, o, lse, do, scale, block_q, block_k,
+                      q.shape[2], interpret)
+    return dq, dk, dv
+
+
+_flash_bhnd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 128,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Attention over ``[B, N, h, d]`` q/k/v (same layout as
-    :func:`bvc_tpu.ops.attention.multi_head_attention`)."""
+    """Attention over ``[B, N, h, d]`` q/k/v (the layout of
+    :func:`bvc_tpu.ops.attention.multi_head_attention`); differentiable;
+    N may be any length (internally padded to a 128 multiple with key
+    masking)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, N, h, d = q.shape
-    bq = _pick_block(N, block_q)
-    bk = _pick_block(N, block_k)
+    pad = (-N) % 128
+    Np = N + pad
 
-    # [B, N, h, d] → [B, h, N, d] for contiguous per-head streaming
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    def prep(x):
+        x = x.transpose(0, 2, 1, 3)  # [B, h, N, d]
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x
 
-    grid = (B, h, N // bq)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=bk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
-            pl.BlockSpec((1, 1, N, d), lambda b, hh, i: (b, hh, 0, 0)),
-            pl.BlockSpec((1, 1, N, d), lambda b, hh, i: (b, hh, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, h, N, d), q.dtype),
-        interpret=interpret,
-    )(qt, kt, vt)
+    qt, kt, vt = prep(q), prep(k), prep(v)
+    bq = _pick_block(Np, block_q)
+    if block_k is None:
+        # measured on v5e: keeping the whole K/V in VMEM beats chunked
+        # streaming by ~2.5x (the fori_loop dynamic slices defeat Mosaic's
+        # pipelining); fall back to 1024-chunks when K/V would blow VMEM
+        kv_bytes = 2 * Np * d * qt.dtype.itemsize
+        block_k = Np if kv_bytes <= 4 * 2**20 else 1024
+    bk = _pick_block(Np, block_k)
+    if pad:
+        # n_valid masking needs the fwd/bwd pipeline; wrap with the
+        # valid-length closure via custom_vjp on padded shapes
+        out = _flash_padded(qt, kt, vt, scale, bq, bk, N, interpret)
+    else:
+        out = _flash_bhnd(qt, kt, vt, scale, bq, bk, interpret)
+    out = out[:, :, :N]
     return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_padded(q, k, v, scale, block_q, block_k, n_valid, interpret):
+    o, _ = _fwd(q, k, v, scale, block_q, block_k, n_valid, interpret)
+    return o
+
+
+def _flash_padded_fwd(q, k, v, scale, block_q, block_k, n_valid, interpret):
+    o, lse = _fwd(q, k, v, scale, block_q, block_k, n_valid, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_padded_bwd(scale, block_q, block_k, n_valid, interpret, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = _bwd(q, k, v, o, lse, do, scale, block_q, block_k,
+                      n_valid, interpret)
+    return dq, dk, dv
+
+
+_flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)

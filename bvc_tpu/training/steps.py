@@ -326,5 +326,12 @@ def _jit_over_mesh(step, eval_step, mesh: Mesh, param_mode: str):
 
 
 def place_state(state: TrainState, mesh: Mesh, param_mode: str = "replicated") -> TrainState:
-    """Device-put a host-built TrainState with the step's shardings."""
-    return jax.device_put(state, _tree_shardings(state, mesh, param_mode))
+    """Device-put a host-built TrainState with the step's shardings.
+
+    Always materialises fresh buffers: the train step donates its input
+    state, and ``device_put`` aliases arrays whose sharding already
+    matches — without the copy, the caller's original arrays would be
+    invalidated by the first step.
+    """
+    placed = jax.device_put(state, _tree_shardings(state, mesh, param_mode))
+    return jax.tree_util.tree_map(jnp.copy, placed)
