@@ -44,7 +44,10 @@ class _Base:
             from bvc_tpu import native
 
             if native.available():
-                return native.decode_frames(list(fps), self.transform.image_size)
+                return native.decode_frames(
+                    list(fps), self.transform.image_size,
+                    uint8=self.transform.output_uint8,
+                )
         return np.stack([self._load(fp, rng) for fp in fps])
 
 

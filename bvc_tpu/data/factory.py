@@ -62,7 +62,7 @@ def make_generative_dataset(cfg: DataConfig) -> dict:
     if cfg.condition in ("MatchedSpatial", "MatchedSpatioTemporal", "MatchedTemporal", "static"):
         return make_control_dataset(cfg)
     fps = _corpus(cfg, rng)
-    transform = FrameTransform(image_size=cfg.image_size)
+    transform = FrameTransform(image_size=cfg.image_size, output_uint8=cfg.feed_uint8)
     val_ratio = 0.1 if cfg.keep_val else 0.0
     if val_ratio == 0:
         train_fp, val_fp = fps, []
@@ -93,6 +93,7 @@ def make_predictive_dataset(cfg: DataConfig) -> dict:
     transform = FrameTransform(
         image_size=cfg.image_size, augs=cfg.augs,
         crop_size=cfg.image_size, crop_scale=(1.0, 1.0),
+        output_uint8=cfg.feed_uint8,
     )
     if cfg.tubelet_size == 1:
         train = PairDataset(
@@ -114,6 +115,7 @@ def make_contrastive_dataset(cfg: DataConfig) -> dict:
     transform = FrameTransform(
         image_size=cfg.image_size, augs=cfg.augs,
         crop_size=cfg.image_size, crop_scale=(0.7, 1.0),
+        output_uint8=cfg.feed_uint8,
     )
     train = PairDataset(
         get_fpath2framelist(fps, cfg.interval, n_samples=cfg.n_trainsamples),
@@ -139,7 +141,7 @@ def make_control_dataset(cfg: DataConfig) -> dict:
     rng = _random.Random(cfg.seed)
     seqlist = load_control_seqlist(cfg)
     seqlist = get_fold(seqlist, cfg.fold, cfg.num_folds, segment_size=cfg.segment_size)
-    transform = FrameTransform(image_size=cfg.image_size)
+    transform = FrameTransform(image_size=cfg.image_size, output_uint8=cfg.feed_uint8)
     train_fp, val_fp = get_train_val_split(seqlist, val_ratio=0.1)
     n_val = min(len(val_fp), MAX_VAL_SAMPLES)
     train_fp = rng.sample(train_fp, min(cfg.n_trainsamples, len(train_fp)))

@@ -112,6 +112,9 @@ def encoder_forward(
     (or ``[B, N, D]`` unmasked), final-normed.
     """
     dtype = _dtype(cfg)
+    from bvc_tpu.models.videomae import normalize_on_device
+
+    video = normalize_on_device(video)
     tokens = tubelet_patchify(
         video, enc_params["patch_embed"]["kernel"], enc_params["patch_embed"]["bias"],
         cfg.tubelet_size, cfg.patch_size, dtype,

@@ -178,6 +178,18 @@ def patch_targets(video: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     return x.reshape(B, n, ts * p * p * C)
 
 
+def normalize_on_device(video: jnp.ndarray) -> jnp.ndarray:
+    """uint8 frames → normalized f32 on device.
+
+    Lets the input pipeline ship uint8 (4x less H2D traffic than f32 —
+    154 MB/batch → 38 MB at the reference batch) and fuses the
+    (x/255 - 0.5)/0.25 normalization into the jitted step.
+    """
+    if video.dtype == jnp.uint8:
+        return (video.astype(jnp.float32) * (1.0 / 255.0) - 0.5) * 4.0
+    return video
+
+
 def pretrain_loss(
     params: dict,
     video: jnp.ndarray,
@@ -188,8 +200,10 @@ def pretrain_loss(
     """Masked reconstruction loss for one (possibly device-local) batch.
 
     ``mask``: ``[B, N]`` bool, True = masked.  ``num_visible`` must be the
-    static visible-token count implied by the mask sampler.
+    static visible-token count implied by the mask sampler.  ``video``
+    may be normalized f32 or raw uint8 (normalized in-step).
     """
+    video = normalize_on_device(video)
     visible_idx, masked_idx = mask_partition(mask, num_visible)
     encoded = encode_visible(params, video, visible_idx, cfg)
     preds = decode_masked(params, encoded, visible_idx, masked_idx, cfg)
@@ -204,6 +218,7 @@ def pretrain_loss(
 def forward_features(params: dict, video: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Unmasked encoder pass over all tokens, ``[B, N, D]`` (used by the
     embedding extractor)."""
+    video = normalize_on_device(video)
     B, N = video.shape[0], cfg.seq_len
     all_idx = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
     return encode_visible(params, video, all_idx, cfg)

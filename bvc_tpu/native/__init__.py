@@ -38,6 +38,14 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
+        lib.bvc_decode_frames_u8.restype = ctypes.c_int
+        lib.bvc_decode_frames_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -49,9 +57,11 @@ def available() -> bool:
 
 
 def decode_frames(
-    paths: list[str], image_size: int, n_threads: int | None = None
+    paths: list[str], image_size: int, n_threads: int | None = None,
+    uint8: bool = False,
 ) -> np.ndarray:
-    """``[len(paths), image_size, image_size, 3]`` float32, normalized.
+    """``[len(paths), image_size, image_size, 3]`` — normalized float32,
+    or raw resized/cropped uint8 with ``uint8=True``.
 
     Raises ``IOError`` naming the first undecodable path.
     """
@@ -59,14 +69,21 @@ def decode_frames(
     if lib is None:
         raise RuntimeError("native decode core unavailable")
     n = len(paths)
-    out = np.empty((n, image_size, image_size, 3), np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if n_threads is None:
         n_threads = min(n, os.cpu_count() or 1)
-    rc = lib.bvc_decode_frames(
-        arr, n, image_size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        n_threads,
-    )
+    if uint8:
+        out = np.empty((n, image_size, image_size, 3), np.uint8)
+        rc = lib.bvc_decode_frames_u8(
+            arr, n, image_size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads,
+        )
+    else:
+        out = np.empty((n, image_size, image_size, 3), np.float32)
+        rc = lib.bvc_decode_frames(
+            arr, n, image_size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+        )
     if rc != 0:
         raise IOError(f"failed to decode {paths[rc - 1]}")
     return out

@@ -86,6 +86,37 @@ inline float bilinear(const unsigned char* img, int w, int h, float x, float y,
          p10 * (1 - fx) * fy + p11 * fx * fy;
 }
 
+// Decode + shorter-side resize + center crop, uint8 output (device-side
+// normalization path).
+bool process_one_u8(const char* path, int size, unsigned char* out) {
+  std::vector<unsigned char> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, rgb, w, h)) return false;
+  const float scale = static_cast<float>(size) / (w < h ? w : h);
+  const int rw = static_cast<int>(std::lround(w * scale));
+  const int rh = static_cast<int>(std::lround(h * scale));
+  const int ox = (rw - size) / 2;
+  const int oy = (rh - size) / 2;
+  const float rx = static_cast<float>(w) / rw;
+  const float ry = static_cast<float>(h) / rh;
+  for (int y = 0; y < size; ++y) {
+    float sy = (y + oy + 0.5f) * ry - 0.5f;
+    if (sy < 0) sy = 0;
+    if (sy > h - 1) sy = static_cast<float>(h - 1);
+    for (int x = 0; x < size; ++x) {
+      float sx = (x + ox + 0.5f) * rx - 0.5f;
+      if (sx < 0) sx = 0;
+      if (sx > w - 1) sx = static_cast<float>(w - 1);
+      unsigned char* px = out + (static_cast<size_t>(y) * size + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float v = bilinear(rgb.data(), w, h, sx, sy, c);
+        px[c] = static_cast<unsigned char>(v + 0.5f);
+      }
+    }
+  }
+  return true;
+}
+
 // Decode + shorter-side resize + center crop to size x size + normalize.
 bool process_one(const char* path, int size, float* out) {
   std::vector<unsigned char> rgb;
@@ -156,5 +187,35 @@ int bvc_decode_frames(const char** paths, int n, int image_size, float* out,
   return failed.load();
 }
 
-int bvc_version() { return 1; }
+// uint8 variant; same return convention.
+int bvc_decode_frames_u8(const char** paths, int n, int image_size,
+                         unsigned char* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      unsigned char* dst =
+          out + static_cast<size_t>(i) * image_size * image_size * 3;
+      if (!process_one_u8(paths[i], image_size, dst)) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return failed.load();
+}
+
+int bvc_version() { return 2; }
 }

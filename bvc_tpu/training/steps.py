@@ -245,6 +245,9 @@ def make_simclr_train_step(
     from bvc_tpu.objectives.contrastive import info_nce_loss
 
     def step(state: TrainState, batch):
+        from bvc_tpu.models.videomae import normalize_on_device
+
+        batch = normalize_on_device(batch)
         B = batch.shape[0]
         x = batch.reshape(B * 2, *batch.shape[2:])
         rng, _ = jax.random.split(state.rng)
@@ -276,6 +279,9 @@ def make_simclr_train_step(
         )
 
     def eval_step(state: TrainState, batch):
+        from bvc_tpu.models.videomae import normalize_on_device
+
+        batch = normalize_on_device(batch)
         B = batch.shape[0]
         x = batch.reshape(B * 2, *batch.shape[2:])
         feats, _ = resnet.apply(

@@ -128,6 +128,8 @@ class DataConfig:
     seed: int = 0
     num_workers: int = 6  # host decode threads
     prefetch: int = 2  # device prefetch depth
+    # ship uint8 frames and normalize inside the jitted step (less H2D)
+    feed_uint8: bool = True
     # Frames per contiguous fold segment: 30 min * 60 s * 30 fps / ds_rate
     # (generative/homeview.py:158).
     segment_minutes: float = 30.0
