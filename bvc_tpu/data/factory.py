@@ -59,7 +59,15 @@ def make_generative_dataset(cfg: DataConfig) -> dict:
     """Clip dataset for VideoMAE (``generative/homeview.py:17-79``):
     fold → optional val split (middle slice) → stride-resampled clips."""
     rng = _random.Random(cfg.seed)
-    if cfg.condition in ("MatchedSpatial", "MatchedSpatioTemporal", "MatchedTemporal", "static"):
+    # Only the spatial-matched conditions take the pickled-seqlist path
+    # (pretrain_videomae.py:216-219); MatchedTemporal runs the normal
+    # dataset with num_frames=1 from the preset.  'static' additionally
+    # routes here when a control root is configured (the reference's
+    # StillVideoDataset path, live only inside make_dataset_spatial).
+    control_conditions = ("MatchedSpatial", "MatchedSpatioTemporal")
+    if cfg.condition in control_conditions or (
+        cfg.condition == "static" and cfg.control_data_root
+    ):
         return make_control_dataset(cfg)
     fps = _corpus(cfg, rng)
     transform = FrameTransform(image_size=cfg.image_size, output_uint8=cfg.feed_uint8)

@@ -184,6 +184,29 @@ def make_evaluator(ds_task: str, **kw):
     raise ValueError(f"unknown ds_task {ds_task!r}")
 
 
+def proc_result_folder_tb(
+    emb_root: str,
+    ds_task: str,
+    iter_per_stage: int,
+    n_jobs: int = 8,
+    exemplar: bool = False,
+) -> pd.DataFrame:
+    """Toybox single-CSV sweep (cell 10): every train CSV is scored by an
+    internal exemplar/random split instead of a train/test CSV pair."""
+    evaluator = ToyBoxEval(exemplar=exemplar)
+    score_col = "category" if ds_task == "tb_cat" else "transformation"
+    records = []
+    for fname in sorted(os.listdir(emb_root)):
+        fp = os.path.join(emb_root, fname)
+        if Path(fp).suffix != ".csv":
+            continue
+        record = parse_fname(fp)
+        record[score_col] = evaluator.proc_fp(fp, score_col, n_jobs=n_jobs)
+        record["Iteration"] = iter_per_stage * record["Stage"]
+        records.append(deepcopy(record))
+    return pd.DataFrame.from_records(records)
+
+
 def proc_result_folder(
     emb_root: str,
     ds_task: str,

@@ -232,6 +232,7 @@ def make_simclr_train_step(
     loss_mode: str = "parity",
     param_mode: str = "replicated",
     dtype=jnp.float32,
+    negatives: str = "global",
 ):
     """SimCLR step over pair batches ``[B, 2, H, W, C]``.
 
@@ -240,7 +241,14 @@ def make_simclr_train_step(
     (``:320-329``), pushed through ResNet+head, and scored with the
     reference's InfoNCE (see :mod:`bvc_tpu.objectives.contrastive` for the
     preserved quirks).  BatchNorm running stats live in ``state.extra``.
+
+    ``negatives``: 'global' contrasts across the whole global batch (the
+    natural SPMD semantics, MORE negatives than the reference at
+    world_size>1); 'per_replica' restricts negative pairs to same-shard
+    samples, reproducing the reference's per-rank loss exactly
+    (SURVEY.md §2.5 "per-rank only").
     """
+    data_size = mesh.shape.get("data", 1)
     from bvc_tpu.models import resnet
     from bvc_tpu.objectives.contrastive import info_nce_loss
 
@@ -252,11 +260,17 @@ def make_simclr_train_step(
         x = batch.reshape(B * 2, *batch.shape[2:])
         rng, _ = jax.random.split(state.rng)
 
+        per_shard = (B + data_size - 1) // data_size
+        replica_ids = None
+        if negatives == "per_replica" and data_size > 1:
+            sample_ids = jnp.arange(B) // per_shard
+            replica_ids = jnp.repeat(sample_ids, 2)
+
         def loss_fn(params):
             feats, new_stats = resnet.apply(
                 params, state.extra, x, arch, training=True, dtype=dtype
             )
-            loss = info_nce_loss(feats, temperature, loss_mode)
+            loss = info_nce_loss(feats, temperature, loss_mode, replica_ids)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

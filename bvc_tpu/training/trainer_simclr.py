@@ -69,6 +69,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     step = make_simclr_train_step(
         mesh, arch, tx, TEMPERATURE, loss_mode="parity",
         param_mode=cfg.param_sharding,
+        negatives=getattr(cfg.optim, "contrastive_negatives", "global"),
     )
 
     datasets = make_dataset("simclr", cfg.data)

@@ -219,6 +219,9 @@ class OptimConfig:
     # EMA ramp for the JEPA target encoder (pretrain_jepa.py:309-311)
     ema: tuple[float, float] = (0.996, 1.0)
     ema_fallback: float = 0.998
+    # SimCLR negative scope: 'global' (all chips) or 'per_replica'
+    # (reference per-rank parity — SURVEY.md §2.5)
+    contrastive_negatives: str = "global"
 
 
 @dataclass

@@ -141,3 +141,76 @@ class TestSimclrTrainerEndToEnd:
         assert np.isfinite(s["train_loss"])
         csv = (tmp_path / "csvlog_dev_1_g0_default_0_0.csv").read_text().splitlines()
         assert csv[0] == "epoch,itr,train loss,grad-conv1,grad-fc0,time (ms)"
+
+
+class TestPerReplicaNegatives:
+    def test_replica_scoping_masks_cross_shard_pairs(self):
+        from bvc_tpu.objectives.contrastive import info_nce_loss
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        feats = jnp.array(rng.standard_normal((8, 4)), jnp.float32)
+        # 2 replicas of 2 samples (4 rows each)
+        ids = jnp.array([0, 0, 0, 0, 1, 1, 1, 1])
+        scoped = float(info_nce_loss(feats, 0.1, "parity", replica_ids=ids))
+        global_ = float(info_nce_loss(feats, 0.1, "parity"))
+        assert scoped != global_
+        # scoped loss must equal the mean-of-positives form computed from
+        # only same-replica negatives
+        f = np.asarray(feats)
+        f = f / np.linalg.norm(f, axis=-1, keepdims=True)
+        sim = (f @ f.T) / 0.1
+        i = np.arange(8)[:, None]; j = np.arange(8)[None, :]
+        pos = np.abs(i - j) == 1
+        neg = ~(pos | (i == j)) & ((i // 4) == (j // 4))
+        m = sim[neg].max()
+        log_z = m + np.log(np.exp(sim[neg] - m).sum())
+        expected = log_z - sim[pos].mean()
+        assert scoped == pytest.approx(float(expected), rel=1e-5)
+
+    def test_step_with_per_replica(self):
+        from bvc_tpu.training.steps import make_simclr_train_step
+        from bvc_tpu.parallel import make_mesh, shard_batch
+        from bvc_tpu.training.state import TrainState
+        from bvc_tpu.training.optim import make_optimizer
+        from bvc_tpu.utils.config import OptimConfig
+
+        # 4-shard mesh → 2 samples per replica (a 1-sample replica has no
+        # negatives at all and the loss degenerates to -inf, as it would
+        # in the reference at per-GPU batch 1)
+        mesh = make_mesh({"data": 4}, jax.devices()[:4])
+        tx = make_optimizer(OptimConfig(lr=0.01))
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", 16)
+        from bvc_tpu.training.steps import place_state
+
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1), extra=stats), mesh
+        )
+        step = make_simclr_train_step(mesh, "resnet18", tx, negatives="per_replica")
+        batch = shard_batch(
+            np.random.default_rng(0).standard_normal((8, 2, 32, 32, 3)).astype(np.float32),
+            mesh,
+        )
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestToyboxSweep:
+    def test_proc_result_folder_tb(self, tmp_path):
+        import pandas as pd
+        from bvc_tpu.evalbench.evaluators import proc_result_folder_tb
+
+        rng = np.random.default_rng(0)
+        fnames = [f"{c}_{i:02d}_pivothead_{t}.mp4"
+                  for c in ["cat", "dog"] for i in range(6) for t in ["rxplus"]]
+        centers = rng.standard_normal((2, 6)) * 5
+        lab = [f.split("_")[0] for f in fnames]
+        lab_idx = {l: i for i, l in enumerate(sorted(set(lab)))}
+        X = np.stack([centers[lab_idx[l]] + 0.05 * rng.standard_normal(6) for l in lab])
+        df = pd.DataFrame(X, columns=[f"dim{i}" for i in range(6)])
+        df["fnames"] = fnames
+        df.to_csv(tmp_path / "embeddings_dev_1_g0_default_0_0.csv", index=False)
+        out = proc_result_folder_tb(str(tmp_path), "tb_cat", iter_per_stage=10,
+                                    n_jobs=1, exemplar=True)
+        assert len(out) == 1
+        assert out["category"].iloc[0] == 1.0
