@@ -37,6 +37,7 @@ def _load():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.bvc_decode_frames_u8.restype = ctypes.c_int
         lib.bvc_decode_frames_u8.argtypes = [
@@ -44,6 +45,7 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
             ctypes.c_int,
         ]
         _lib = lib
@@ -58,10 +60,15 @@ def available() -> bool:
 
 def decode_frames(
     paths: list[str], image_size: int, n_threads: int | None = None,
-    uint8: bool = False,
+    uint8: bool = False, dct_scale: bool = True,
 ) -> np.ndarray:
     """``[len(paths), image_size, image_size, 3]`` — normalized float32,
     or raw resized/cropped uint8 with ``uint8=True``.
+
+    ``dct_scale`` decodes at a reduced DCT scale when downscaling anyway
+    (big IDCT saving on natural images; slightly different resampling
+    than decode-then-resize — disable for strict pixel parity with the
+    cv2 path).
 
     Raises ``IOError`` naming the first undecodable path.
     """
@@ -77,12 +84,14 @@ def decode_frames(
         rc = lib.bvc_decode_frames_u8(
             arr, n, image_size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads,
+            int(dct_scale),
         )
     else:
         out = np.empty((n, image_size, image_size, 3), np.float32)
         rc = lib.bvc_decode_frames(
             arr, n, image_size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+            int(dct_scale),
         )
     if rc != 0:
         raise IOError(f"failed to decode {paths[rc - 1]}")

@@ -39,8 +39,14 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG into an RGB8 buffer. Returns true on success.
+//
+// When the caller will downscale to `target_short` anyway, uses libjpeg's
+// DCT-domain scaling (scale_num/8) to decode directly at reduced
+// resolution — skips most of the IDCT work, which dominates decode time.
+// The decoded shorter side is kept >= target_short so the later bilinear
+// pass only ever downsamples slightly.
 bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb, int& w,
-                 int& h) {
+                 int& h, int target_short = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -56,6 +62,15 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb, int& w,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (target_short > 0) {
+    const int short_side = cinfo.image_width < cinfo.image_height
+                               ? cinfo.image_width
+                               : cinfo.image_height;
+    int num = 8;
+    while (num > 1 && short_side * (num - 1) / 8 >= target_short) --num;
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   w = cinfo.output_width;
   h = cinfo.output_height;
@@ -88,10 +103,11 @@ inline float bilinear(const unsigned char* img, int w, int h, float x, float y,
 
 // Decode + shorter-side resize + center crop, uint8 output (device-side
 // normalization path).
-bool process_one_u8(const char* path, int size, unsigned char* out) {
+bool process_one_u8(const char* path, int size, unsigned char* out,
+                    bool dct_scale) {
   std::vector<unsigned char> rgb;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, rgb, w, h)) return false;
+  if (!decode_jpeg(path, rgb, w, h, dct_scale ? size : 0)) return false;
   const float scale = static_cast<float>(size) / (w < h ? w : h);
   const int rw = static_cast<int>(std::lround(w * scale));
   const int rh = static_cast<int>(std::lround(h * scale));
@@ -118,10 +134,10 @@ bool process_one_u8(const char* path, int size, unsigned char* out) {
 }
 
 // Decode + shorter-side resize + center crop to size x size + normalize.
-bool process_one(const char* path, int size, float* out) {
+bool process_one(const char* path, int size, float* out, bool dct_scale) {
   std::vector<unsigned char> rgb;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, rgb, w, h)) return false;
+  if (!decode_jpeg(path, rgb, w, h, dct_scale ? size : 0)) return false;
   // shorter-side scale
   const float scale = static_cast<float>(size) / (w < h ? w : h);
   const int rw = static_cast<int>(std::lround(w * scale));
@@ -160,7 +176,7 @@ extern "C" {
 
 // Returns 0 on success; on failure, 1-based index of the first bad path.
 int bvc_decode_frames(const char** paths, int n, int image_size, float* out,
-                      int n_threads) {
+                      int n_threads, int dct_scale) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
   std::atomic<int> next(0);
@@ -170,7 +186,7 @@ int bvc_decode_frames(const char** paths, int n, int image_size, float* out,
       const int i = next.fetch_add(1);
       if (i >= n) return;
       float* dst = out + static_cast<size_t>(i) * image_size * image_size * 3;
-      if (!process_one(paths[i], image_size, dst)) {
+      if (!process_one(paths[i], image_size, dst, dct_scale != 0)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
       }
@@ -189,7 +205,7 @@ int bvc_decode_frames(const char** paths, int n, int image_size, float* out,
 
 // uint8 variant; same return convention.
 int bvc_decode_frames_u8(const char** paths, int n, int image_size,
-                         unsigned char* out, int n_threads) {
+                         unsigned char* out, int n_threads, int dct_scale) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
   std::atomic<int> next(0);
@@ -200,7 +216,7 @@ int bvc_decode_frames_u8(const char** paths, int n, int image_size,
       if (i >= n) return;
       unsigned char* dst =
           out + static_cast<size_t>(i) * image_size * image_size * 3;
-      if (!process_one_u8(paths[i], image_size, dst)) {
+      if (!process_one_u8(paths[i], image_size, dst, dct_scale != 0)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
       }

@@ -32,7 +32,7 @@ from bvc_tpu.training.checkpoint import (
 from bvc_tpu.training.optim import make_optimizer
 from bvc_tpu.training.state import TrainState
 from bvc_tpu.training.steps import make_jepa_train_step, place_state
-from bvc_tpu.utils import AverageMeter, CSVLogger, StepTimer, TrainConfig
+from bvc_tpu.utils import AverageMeter, CSVLogger, TrainConfig
 from bvc_tpu.utils.logging import get_logger, is_main_process
 
 
@@ -141,14 +141,16 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     logger.info("dataset: %d samples, %d iters/epoch, global batch %d",
                 len(datasets["train"]), len(loader), global_batch)
 
-    timer = StepTimer()
+    from bvc_tpu.training.metrics_pipe import MetricsPipe
+
     loss_meter = AverageMeter()
     for epoch in range(start_epoch, start_epoch + cfg.n_epoch):
         loss_meter = AverageMeter()
         maskA = AverageMeter()
         maskB = AverageMeter()
-        for itr, batch in enumerate(loader.epoch(epoch)):
-            (state, metrics), ms = timer(lambda: step(state, batch))
+        pipe_ms = [0.0]
+
+        def log_fn(itr, metrics, epoch=epoch):
             loss = float(metrics["loss"])
             loss_meter.update(loss)
             maskA.update(float(metrics["mask_a"]))
@@ -157,16 +159,23 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 csv_logger.log(
                     epoch + 1, itr, loss,
                     float(metrics["grad_fl"]), float(metrics["grad_ll"]),
-                    int(metrics["mask_a"]), int(metrics["mask_b"]), int(ms),
+                    int(metrics["mask_a"]), int(metrics["mask_b"]),
+                    int(pipe_ms[0]),
                 )
             if itr % cfg.log_freq == 0:
                 logger.info(
                     "[%d, %5d] loss: %.3f masks: %.1f %.1f (%.0f ms) m=%.4f",
-                    epoch + 1, itr, loss_meter.avg, maskA.avg, maskB.avg, ms,
-                    float(metrics["ema_m"]),
+                    epoch + 1, itr, loss_meter.avg, maskA.avg, maskB.avg,
+                    pipe_ms[0], float(metrics["ema_m"]),
                 )
             if np.isnan(loss):
                 raise FloatingPointError(f"loss is nan at epoch {epoch} itr {itr}")
+
+        pipe = MetricsPipe(log_fn, time_every=cfg.log_freq)
+        for itr, batch in enumerate(loader.epoch(epoch)):
+            state, metrics = step(state, batch)
+            pipe_ms[0] = pipe.push(itr, metrics)
+        pipe.flush()
         logger.info("epoch %d avg loss %.4f", epoch + 1, loss_meter.avg)
 
     chpt = checkpoint_path(folder, cfg.run_id)

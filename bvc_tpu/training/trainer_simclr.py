@@ -27,7 +27,7 @@ from bvc_tpu.training.checkpoint import (
 from bvc_tpu.training.optim import make_optimizer
 from bvc_tpu.training.state import TrainState
 from bvc_tpu.training.steps import make_simclr_train_step, place_state
-from bvc_tpu.utils import AverageMeter, CSVLogger, StepTimer, TrainConfig
+from bvc_tpu.utils import AverageMeter, CSVLogger, TrainConfig
 from bvc_tpu.utils.logging import get_logger, is_main_process
 
 TEMPERATURE = 0.1  # hard-coded in the reference (pretrain_simclr.py:284)
@@ -82,23 +82,31 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     logger.info("dataset: %d pairs, %d iters/epoch, global batch %d",
                 len(datasets["train"]), len(loader), global_batch)
 
-    timer = StepTimer()
+    from bvc_tpu.training.metrics_pipe import MetricsPipe
+
     loss_meter = AverageMeter()
     for epoch in range(cfg.n_epoch):
         loss_meter = AverageMeter()
-        for itr, batch in enumerate(loader.epoch(epoch)):
-            (state, metrics), ms = timer(lambda: step(state, batch))
+        pipe_ms = [0.0]
+
+        def log_fn(itr, metrics, epoch=epoch):
             loss = float(metrics["loss"])
             loss_meter.update(loss)
             if csv_logger is not None:
                 csv_logger.log(epoch + 1, itr, loss,
                                float(metrics["grad_conv1"]),
-                               float(metrics["grad_fc0"]), int(ms))
+                               float(metrics["grad_fc0"]), int(pipe_ms[0]))
             if itr % cfg.log_freq == 0:
                 logger.info("[%d, %5d] loss: %.3f (%.0f ms)",
-                            epoch + 1, itr, loss_meter.avg, ms)
+                            epoch + 1, itr, loss_meter.avg, pipe_ms[0])
             if np.isnan(loss) or np.isinf(loss):
                 raise FloatingPointError(f"loss is {loss}")
+
+        pipe = MetricsPipe(log_fn, time_every=cfg.log_freq)
+        for itr, batch in enumerate(loader.epoch(epoch)):
+            state, metrics = step(state, batch)
+            pipe_ms[0] = pipe.push(itr, metrics)
+        pipe.flush()
         logger.info("epoch %d avg loss %.4f", epoch + 1, loss_meter.avg)
 
     chpt = checkpoint_path(folder, cfg.run_id)

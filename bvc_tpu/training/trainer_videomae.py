@@ -29,7 +29,7 @@ from bvc_tpu.training.checkpoint import (
 from bvc_tpu.training.optim import make_optimizer
 from bvc_tpu.training.state import TrainState
 from bvc_tpu.training.steps import make_videomae_train_step, place_state
-from bvc_tpu.utils import AverageMeter, CSVLogger, StepTimer, TrainConfig
+from bvc_tpu.utils import AverageMeter, CSVLogger, TrainConfig
 from bvc_tpu.utils.logging import get_logger, is_main_process
 
 
@@ -102,16 +102,15 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         global_batch, len(loaders["train"]),
     )
 
-    timer = StepTimer()
+    from bvc_tpu.training.metrics_pipe import MetricsPipe
+
     loss_meter = {}
     for epoch in range(cfg.n_epoch):
         loss_meter = {p: AverageMeter() for p in ("train", "val")}
         for phase, loader in loaders.items():
-            for itr, batch in enumerate(loader.epoch(epoch)):
-                if phase == "train":
-                    (state, metrics), ms = timer(lambda: step(state, batch))
-                else:
-                    metrics, ms = timer(lambda: step.eval_step(state, batch))
+            pipe_ms = [0.0]
+
+            def log_fn(itr, metrics, phase=phase, epoch=epoch):
                 loss = float(metrics["loss"])
                 loss_meter[phase].update(loss)
                 if csv_logger is not None:
@@ -129,10 +128,24 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                     mem = device_memory_stats()["peak_bytes_in_use"] / 1024**2
                     logger.info(
                         "[%d, %5d] %s loss: %.3f [mem: %.2e MB] (%.0f ms/it)",
-                        epoch + 1, itr, phase, loss_meter[phase].avg, mem, ms,
+                        epoch + 1, itr, phase, loss_meter[phase].avg, mem,
+                        pipe_ms[0],
                     )
                 if np.isnan(loss) or np.isinf(loss):
-                    raise FloatingPointError(f"loss is {loss} at epoch {epoch} itr {itr}")
+                    raise FloatingPointError(
+                        f"loss is {loss} at epoch {epoch} itr {itr}"
+                    )
+
+            # lag-1 logging: step i's CSV row is written while step i+1
+            # runs, so the dispatch pipeline never drains on metric reads
+            pipe = MetricsPipe(log_fn, time_every=cfg.log_freq)
+            for itr, batch in enumerate(loader.epoch(epoch)):
+                if phase == "train":
+                    state, metrics = step(state, batch)
+                else:
+                    metrics = step.eval_step(state, batch)
+                pipe_ms[0] = pipe.push(itr, metrics)
+            pipe.flush()
             logger.info("epoch %d %s avg loss %.4f", epoch + 1, phase,
                         loss_meter[phase].avg)
 
