@@ -47,6 +47,7 @@ class _Base:
                 return native.decode_frames(
                     list(fps), self.transform.image_size,
                     uint8=self.transform.output_uint8,
+                    dct_scale=self.transform.dct_scale,
                 )
         return np.stack([self._load(fp, rng) for fp in fps])
 

@@ -188,6 +188,9 @@ class FrameTransform:
     # ship uint8 to the device and normalize inside the jitted step
     # (4x less H2D traffic; see videomae.normalize_on_device)
     output_uint8: bool = False
+    # native fast path: decode at reduced DCT scale when downscaling
+    # (False = strict pixel parity with the cv2 decode-then-resize path)
+    dct_scale: bool = True
 
     @property
     def is_plain(self) -> bool:

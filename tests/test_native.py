@@ -20,7 +20,7 @@ pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not b
 class TestNativeDecode:
     def test_matches_python_path(self, frame_corpus):
         fps = get_fpathlist(frame_corpus, "008MS")[:8]
-        out = native.decode_frames(fps, 16)
+        out = native.decode_frames(fps, 16, dct_scale=False)
         py = np.stack(
             [normalize(center_crop(resize_shorter(decode_jpeg(p), 16), 16)) for p in fps]
         )
@@ -33,7 +33,9 @@ class TestNativeDecode:
 
     def test_clip_dataset_uses_native_for_plain_transform(self, frame_corpus):
         fps = get_fpathlist(frame_corpus, "008MS")
-        plain = ClipDataset([fps[:4]], FrameTransform(image_size=16))
+        plain = ClipDataset(
+            [fps[:4]], FrameTransform(image_size=16, dct_scale=False)
+        )
         aug = ClipDataset([fps[:4]], FrameTransform(image_size=16, augs="c", crop_size=16))
         rng = np.random.default_rng(0)
         a = plain[(0, rng)]
@@ -48,3 +50,20 @@ class TestNativeDecode:
         a = native.decode_frames(fps, 16, n_threads=1)
         b = native.decode_frames(fps, 16, n_threads=4)
         np.testing.assert_array_equal(a, b)
+
+    def test_dct_scaled_decode_close_on_smooth_images(self, tmp_path):
+        import cv2
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(4):
+            arr = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+            arr = cv2.GaussianBlur(arr, (15, 15), 5)
+            p = str(tmp_path / f"{i}.jpg")
+            Image.fromarray(arr).save(p, quality=92)
+            paths.append(p)
+        fast = native.decode_frames(paths, 16, uint8=True, dct_scale=True)
+        exact = native.decode_frames(paths, 16, uint8=True, dct_scale=False)
+        diff = np.abs(fast.astype(np.float32) - exact.astype(np.float32)).mean()
+        assert diff < 4.0  # /255 units; DCT low-pass vs aliased resize
