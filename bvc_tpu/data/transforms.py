@@ -85,7 +85,10 @@ def random_resized_crop(
     scale: tuple[float, float], ratio: tuple[float, float] = (3 / 4, 4 / 3),
 ) -> np.ndarray:
     """torchvision RandomResizedCrop geometry: 10 tries of (area, log-ratio)
-    sampling, center-crop fallback."""
+    sampling; fallback = the largest centered window whose aspect ratio is
+    clamped into ``ratio`` (torchvision's exact fallback — with
+    crop_scale=(1,1) the loop almost always fails, so the fallback IS the
+    hot path for the JEPA/predictive config)."""
     h, w = img.shape[:2]
     area = h * w
     for _ in range(10):
@@ -100,7 +103,16 @@ def random_resized_crop(
             crop = img[top : top + ch, left : left + cw]
             break
     else:
-        crop = center_crop(resize_shorter(img, size), size)
+        in_ratio = w / h
+        if in_ratio < ratio[0]:
+            cw, ch = w, int(round(w / ratio[0]))
+        elif in_ratio > ratio[1]:
+            ch, cw = h, int(round(h * ratio[1]))
+        else:  # whole image
+            cw, ch = w, h
+        top = (h - ch) // 2
+        left = (w - cw) // 2
+        crop = img[top : top + ch, left : left + cw]
     if _HAS_CV2:
         return cv2.resize(crop, (size, size), interpolation=cv2.INTER_LINEAR)
     return np.asarray(Image.fromarray(crop).resize((size, size), Image.BILINEAR))

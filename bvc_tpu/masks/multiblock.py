@@ -147,12 +147,16 @@ class MultiBlockMaskCollator:
         size_rng = np.random.default_rng((self.seed, seed_step))
         loc_rng = np.random.default_rng((self.seed, seed_step, 1))
 
-        u = float(size_rng.random())
+        # two independent draws, matching the reference's two
+        # _sample_block_size calls (mask.py:176-184); within each call one
+        # draw parameterises both scale and aspect ratio
         p_size = _block_size_from_u(
-            u, self.height, self.width, self.pred_mask_scale, self.aspect_ratio
+            float(size_rng.random()), self.height, self.width,
+            self.pred_mask_scale, self.aspect_ratio,
         )
         e_size = _block_size_from_u(
-            u, self.height, self.width, self.enc_mask_scale, (1.0, 1.0)
+            float(size_rng.random()), self.height, self.width,
+            self.enc_mask_scale, (1.0, 1.0),
         )
 
         preds: list[list[np.ndarray]] = []

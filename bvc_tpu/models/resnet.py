@@ -116,8 +116,13 @@ def init_params(key, name: str = "resnet18", head_dim: int = 512) -> tuple[dict,
 
 
 def _conv(x, w, stride=1):
+    # explicit symmetric padding (torch semantics): SAME pads
+    # asymmetrically for stride-2 convs, shifting the sampling grid a
+    # half pixel vs torchvision
+    kh, kw = w.shape[0], w.shape[1]
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride), padding="SAME",
+        x, w, window_strides=(stride, stride), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 

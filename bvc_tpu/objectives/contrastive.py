@@ -76,8 +76,11 @@ def info_nce_loss(
     pos_mask = jnp.asarray(pos_np)
     neg_mask = jnp.asarray(neg_np)
     if replica_ids is not None:
+        # scope BOTH masks: the reference's per-rank loss never sees any
+        # pair (positive or negative) that straddles a rank boundary
         same = replica_ids[:, None] == replica_ids[None, :]
         neg_mask = neg_mask & same
+        pos_mask = pos_mask & same
 
     from jax.scipy.special import logsumexp
 

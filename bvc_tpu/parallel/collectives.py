@@ -50,9 +50,17 @@ def all_gather_objects(data: dict[str, Any]) -> list[dict[str, Any]]:
                 out[i][key] = raw.decode("utf-8").split("\x00") if raw else []
         else:
             arr = np.asarray(val)
-            gathered = multihost_utils.process_allgather(arr)
+            # hosts may hold different row counts (uneven slices, dropped
+            # undecodable samples): pad to the max, carry counts alongside
+            counts = multihost_utils.process_allgather(
+                np.asarray([arr.shape[0]], np.int64)
+            ).ravel()
+            max_rows = int(counts.max())
+            padded = np.zeros((max_rows,) + arr.shape[1:], arr.dtype)
+            padded[: arr.shape[0]] = arr
+            gathered = multihost_utils.process_allgather(padded)
             for i in range(jax.process_count()):
-                out[i][key] = gathered[i]
+                out[i][key] = gathered[i][: int(counts[i])]
     return out
 
 

@@ -31,6 +31,8 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+_DIST_INITIALIZED = False
+
 
 def distributed_init(
     coordinator_address: str | None = None,
@@ -45,8 +47,11 @@ def distributed_init(
     (the common case on one host, where calling ``jax.distributed`` is
     unnecessary).
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    # NOTE: must not touch jax.devices()/process_count() here — any backend
+    # query initialises XLA and jax.distributed.initialize would then fail.
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return
     coordinator_address = coordinator_address or os.environ.get(
         "BVC_COORDINATOR", None
     )
@@ -57,6 +62,7 @@ def distributed_init(
         num_processes=num_processes or int(os.environ.get("SLURM_NTASKS", 1)),
         process_id=process_id or int(os.environ.get("SLURM_PROCID", 0)),
     )
+    _DIST_INITIALIZED = True
 
 
 def make_mesh(shape: dict[str, int] | None = None, devices=None) -> Mesh:

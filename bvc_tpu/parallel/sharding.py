@@ -42,15 +42,16 @@ def _spec_on_dim(ndim: int, dim: int, axis: str = DATA_AXIS) -> P:
     return P(*entries)
 
 
-# Substrings of flattened param paths → (partition dim) for tensor
-# parallelism.  Matches the functional ViT layout in bvc_tpu.models.vit.
+# Substrings of flattened param paths → partition axis counted FROM THE
+# END (stacked-layer params carry a leading depth axis, so from-the-end
+# indexing is layout-invariant).  Matches bvc_tpu.models.vit.
 _TP_RULES: tuple[tuple[str, int], ...] = (
-    ("attn/qkv/kernel", 1),   # [D, 3D']  → column parallel (heads)
-    ("attn/qkv/bias", 0),
-    ("attn/proj/kernel", 0),  # [D', D]   → row parallel
-    ("mlp/fc1/kernel", 1),    # [D, 4D]   → column parallel
-    ("mlp/fc1/bias", 0),
-    ("mlp/fc2/kernel", 0),    # [4D, D]   → row parallel
+    ("attn/qkv/kernel", -1),   # [.., D, 3D'] → column parallel (heads)
+    ("attn/qkv/bias", -1),     # [.., 3D']
+    ("attn/proj/kernel", -2),  # [.., D', D]  → row parallel
+    ("mlp/fc1/kernel", -1),    # [.., D, 4D]  → column parallel
+    ("mlp/fc1/bias", -1),      # [.., 4D]
+    ("mlp/fc2/kernel", -2),    # [.., 4D, D]  → row parallel
 )
 
 
@@ -80,13 +81,10 @@ def param_shardings(params: Any, mesh: Mesh, mode: str = "replicated") -> Any:
         pstr = _path_str(path)
         shape = np.shape(leaf)
         if mode == "tp" and has_model_axis:
-            for pat, dim in _TP_RULES:
+            for pat, dim_from_end in _TP_RULES:
                 if pstr.endswith(pat) or (pat in pstr):
-                    # stacked-layer params have a leading layer dim; the
-                    # rule dim counts from the end.
-                    d = len(shape) - (2 - dim) if len(shape) >= 2 else dim
-                    d = max(0, min(d, len(shape) - 1))
-                    if shape[d] % model_size == 0:
+                    d = len(shape) + dim_from_end
+                    if 0 <= d < len(shape) and shape[d] % model_size == 0:
                         return NamedSharding(mesh, _spec_on_dim(len(shape), d, MODEL_AXIS))
             return NamedSharding(mesh, P())
         if mode == "fsdp":

@@ -119,8 +119,10 @@ def make_videomae_train_step(
             metrics,
         )
 
-    def eval_step(state: TrainState, video: jnp.ndarray):
-        mask = sampler(jax.random.fold_in(state.rng, 0), video.shape[0])
+    def eval_step(state: TrainState, video: jnp.ndarray, step_idx):
+        # fresh mask realisation per val batch (the reference samples new
+        # masks every iteration in both phases)
+        mask = sampler(jax.random.fold_in(state.rng, step_idx), video.shape[0])
         loss, metrics = videomae.pretrain_loss(
             state.params, video, mask, model_cfg, num_visible
         )
@@ -207,7 +209,8 @@ def make_jepa_train_step(
             metrics,
         )
 
-    def eval_step(state: TrainState, batch):
+    def eval_step(state: TrainState, batch, step_idx):
+        del step_idx  # masks come from the collator for JEPA
         video = batch["video"]
         enc_idx = batch["enc_idx"]
         pred_idx = jnp.transpose(batch["pred_idx"], (1, 0, 2))
@@ -292,7 +295,8 @@ def make_simclr_train_step(
             metrics,
         )
 
-    def eval_step(state: TrainState, batch):
+    def eval_step(state: TrainState, batch, step_idx):
+        del step_idx
         from bvc_tpu.models.videomae import normalize_on_device
 
         batch = normalize_on_device(batch)
@@ -314,6 +318,8 @@ def _jit_over_mesh(step, eval_step, mesh: Mesh, param_mode: str):
     b_sh = batch_sharding(mesh)
     cache: dict[str, Any] = {}
 
+    rep = NamedSharding(mesh, P())
+
     def train(state: TrainState, batch):
         if "jit" not in cache:
             st_sh = _tree_shardings(state, mesh, param_mode)
@@ -321,24 +327,24 @@ def _jit_over_mesh(step, eval_step, mesh: Mesh, param_mode: str):
             cache["jit"] = jax.jit(
                 step,
                 in_shardings=(st_sh, b_sh),
-                out_shardings=(st_sh, NamedSharding(mesh, P())),
+                out_shardings=(st_sh, rep),
                 donate_argnums=(0,),
             )
             cache["ejit"] = jax.jit(
-                eval_step, in_shardings=(st_sh, b_sh),
-                out_shardings=NamedSharding(mesh, P()),
+                eval_step, in_shardings=(st_sh, b_sh, rep),
+                out_shardings=rep,
             )
         return cache["jit"](state, batch)
 
-    def evaluate(state: TrainState, batch):
+    def evaluate(state: TrainState, batch, step_idx=0):
         if "ejit" not in cache:
             st_sh = _tree_shardings(state, mesh, param_mode)
             cache["st_sh"] = st_sh
             cache["ejit"] = jax.jit(
-                eval_step, in_shardings=(st_sh, b_sh),
-                out_shardings=NamedSharding(mesh, P()),
+                eval_step, in_shardings=(st_sh, b_sh, rep),
+                out_shardings=rep,
             )
-        return cache["ejit"](state, batch)
+        return cache["ejit"](state, batch, jnp.asarray(step_idx, jnp.int32))
 
     train.eval_step = evaluate  # type: ignore[attr-defined]
     train.shardings = lambda: cache.get("st_sh")  # type: ignore[attr-defined]

@@ -120,12 +120,6 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         )
     state = place_state(state, mesh, cfg.param_sharding)
 
-    ipe = cfg.max_epoch_iters or 1
-    total_steps = ipe * cfg.n_epoch
-    step = make_jepa_train_step(
-        mesh, cfg.model, tx, total_steps, cfg.optim.ema, cfg.param_sharding
-    )
-
     # data ---------------------------------------------------------------------
     datasets = make_dataset("jepa", cfg.data)
     global_batch = cfg.data.batch_size * mesh.devices.size
@@ -133,6 +127,14 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     if cfg.max_epoch_iters:
         n_batches = min(n_batches, cfg.max_epoch_iters)
     collate, collator = make_mask_collate(cfg, n_batches)
+
+    # EMA momentum ramps over the REAL iteration count (reference
+    # pretrain_jepa.py:309-311 uses ipe*num_epochs; with the CLI default
+    # max_epoch_iters=0 the per-epoch count comes from the data)
+    total_steps = max(n_batches, 1) * cfg.n_epoch
+    step = make_jepa_train_step(
+        mesh, cfg.model, tx, total_steps, cfg.optim.ema, cfg.param_sharding
+    )
     loader = DataLoader(
         datasets["train"], mesh, global_batch, shuffle=True, seed=cfg.seed,
         num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch,
@@ -140,6 +142,11 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     )
     logger.info("dataset: %d samples, %d iters/epoch, global batch %d",
                 len(datasets["train"]), len(loader), global_batch)
+    if len(loader) == 0:
+        raise ValueError(
+            f"dataset ({len(datasets['train'])} samples) is smaller than the "
+            f"global batch ({global_batch}); no training would happen"
+        )
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 

@@ -81,6 +81,11 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     )
     logger.info("dataset: %d pairs, %d iters/epoch, global batch %d",
                 len(datasets["train"]), len(loader), global_batch)
+    if len(loader) == 0:
+        raise ValueError(
+            f"dataset ({len(datasets['train'])} samples) is smaller than the "
+            f"global batch ({global_batch}); no training would happen"
+        )
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 

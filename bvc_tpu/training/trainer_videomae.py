@@ -101,6 +101,11 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         len(datasets["val"]) if datasets.get("val") else 0,
         global_batch, len(loaders["train"]),
     )
+    if len(loaders["train"]) == 0:
+        raise ValueError(
+            f"dataset ({len(datasets['train'])} samples) is smaller than the "
+            f"global batch ({global_batch}); no training would happen"
+        )
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 
@@ -143,7 +148,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 if phase == "train":
                     state, metrics = step(state, batch)
                 else:
-                    metrics = step.eval_step(state, batch)
+                    metrics = step.eval_step(state, batch, itr)
                 pipe_ms[0] = pipe.push(itr, metrics)
             pipe.flush()
             logger.info("epoch %d %s avg loss %.4f", epoch + 1, phase,

@@ -161,8 +161,9 @@ class TestPerReplicaNegatives:
         f = f / np.linalg.norm(f, axis=-1, keepdims=True)
         sim = (f @ f.T) / 0.1
         i = np.arange(8)[:, None]; j = np.arange(8)[None, :]
-        pos = np.abs(i - j) == 1
-        neg = ~(pos | (i == j)) & ((i // 4) == (j // 4))
+        same = (i // 4) == (j // 4)
+        pos = (np.abs(i - j) == 1) & same
+        neg = ~((np.abs(i - j) == 1) | (i == j)) & same
         m = sim[neg].max()
         log_z = m + np.log(np.exp(sim[neg] - m).sum())
         expected = log_z - sim[pos].mean()

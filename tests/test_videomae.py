@@ -148,10 +148,16 @@ class TestTrainStep:
         params = videomae.init_params(jax.random.PRNGKey(0), cfg)
         state = place_state(TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh)
         step = make_videomae_train_step(mesh, cfg, MaskConfig(mask_ratio=0.75), tx)
-        video = shard_batch(np.ones((8, 4, 32, 32, 3), np.float32), mesh)
-        m1 = step.eval_step(state, video)
-        m2 = step.eval_step(state, video)
+        video = shard_batch(
+            np.random.default_rng(0).standard_normal((8, 4, 32, 32, 3)).astype(np.float32),
+            mesh,
+        )
+        m1 = step.eval_step(state, video, 3)
+        m2 = step.eval_step(state, video, 3)
         assert float(m1["loss"]) == float(m2["loss"])
+        # different val batches draw different mask realisations
+        m3 = step.eval_step(state, video, 4)
+        assert float(m3["loss"]) != float(m1["loss"])
 
 
 class TestCheckpoint:
