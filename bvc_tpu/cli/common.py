@@ -43,6 +43,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--param_sharding", type=str, default="replicated",
                    choices=["replicated", "fsdp", "tp"])
     p.add_argument("--control_data_root", type=str, default="")
+    p.add_argument("--segment_minutes", type=float, default=30.0,
+                   help="fold segment length in minutes (reference: 30)")
     return p
 
 
@@ -80,6 +82,7 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     d.seed = args.seed
     d.num_workers = args.num_workers
     d.control_data_root = args.control_data_root
+    d.segment_minutes = args.segment_minutes
 
     o = cfg.optim
     o.name = args.optim

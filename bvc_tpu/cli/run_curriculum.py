@@ -39,6 +39,11 @@ def build_parser():
     p.add_argument("--control_data_root", type=str, default="")
     p.add_argument("--mesh", type=str, default="")
     p.add_argument("--param_sharding", type=str, default="replicated")
+    p.add_argument("--segment_minutes", type=float, default=30.0)
+    p.add_argument("--override", type=str, default="",
+                   help="comma-separated preset overrides, e.g. "
+                        "'n_epoch=1,max_epoch_iters=3,n_trainsamples=64,"
+                        "batch_size=2' — for smoke runs and ablations")
     return p
 
 
@@ -51,13 +56,28 @@ def main(argv=None):
     base.data.seed = args.seed
     base.data.num_workers = args.num_workers
     base.data.control_data_root = args.control_data_root
+    base.data.segment_minutes = args.segment_minutes
     base.param_sharding = args.param_sharding
     if args.mesh:
         from bvc_tpu.cli.common import parse_mesh
 
         base.mesh_shape = parse_mesh(args.mesh)
+    preset_name = args.preset
+    if args.override:
+        import dataclasses
+
+        overrides = {}
+        for part in args.override.split(","):
+            k, v = part.split("=")
+            overrides[k.strip()] = type(
+                getattr(FAMILY_PRESETS[args.preset], k.strip())
+            )(v)
+        preset_name = f"{args.preset}__override"
+        FAMILY_PRESETS[preset_name] = dataclasses.replace(
+            FAMILY_PRESETS[args.preset], **overrides
+        )
     results = run_curriculum(
-        args.curriculum, args.preset, base,
+        args.curriculum, preset_name, base,
         n_stages=args.n_stages, condition=args.condition,
         init_checkpoint_path=args.init_checkpoint_path,
     )
