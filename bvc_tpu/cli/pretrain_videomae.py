@@ -30,6 +30,9 @@ def build_parser():
     p.add_argument("--tubelet_size", type=int, default=2)
     p.add_argument("--architecture", type=str, default="base")
     p.add_argument("--keep_val", type=str, default="n")
+    p.add_argument("--save_every_epoch", type=str, default="n")
+    p.add_argument("--resume", type=str, default="n",
+                   help="y: pick up from this run's own checkpoint if present")
     return p
 
 
@@ -48,6 +51,8 @@ def config_from_args(args):
     cfg.data.num_frames = args.num_frames
     cfg.data.tubelet_size = args.tubelet_size
     cfg.data.keep_val = args.keep_val == "y"
+    cfg.save_every_epoch = args.save_every_epoch == "y"
+    cfg.resume = args.resume == "y"
     if not cfg.run_id:
         cfg.run_id = f"na_1_{args.train_group}_{args.condition}_{args.fold}_{args.seed}"
     return cfg

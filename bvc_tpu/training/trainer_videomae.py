@@ -76,6 +76,21 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         )
     tx = make_optimizer(cfg.optim)
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1))
+    start_epoch = 0
+    own_ckpt = checkpoint_path(folder, cfg.run_id)
+    if cfg.resume and own_ckpt.exists():
+        # mid-stage preemption recovery: restore weights + optimizer +
+        # epoch from this run's own checkpoint
+        logger.info("resuming from %s", own_ckpt)
+        like = {
+            "model_state_dict": state.params,
+            "opt": state.opt_state,
+            "epoch": np.zeros((), np.int32),
+        }
+        restored = load_checkpoint(own_ckpt, like=like)
+        start_epoch = int(restored["epoch"])
+        state = state.replace(params=restored["model_state_dict"],
+                              opt_state=restored["opt"])
     state = place_state(state, mesh, cfg.param_sharding)
     step = make_videomae_train_step(
         mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, GRAD_PROBES
@@ -109,8 +124,29 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 
+    def save(epoch_done: int):
+        save_checkpoint(
+            checkpoint_path(folder, cfg.run_id),
+            {
+                "model_state_dict": jax.device_get(state.params),
+                "opt": jax.device_get(state.opt_state),
+                "epoch": np.int32(epoch_done),
+            },
+            meta={
+                "run_id": cfg.run_id,
+                "epoch": epoch_done,
+                "train_loss": loss_meter.get("train", AverageMeter()).avg,
+                "val_loss": loss_meter.get("val", AverageMeter()).avg,
+                "batch_size": cfg.data.batch_size,
+                "world_size": int(mesh.devices.size),
+                "lr": cfg.optim.lr,
+                "family": "videomae",
+                "script": cfg.script,
+            },
+        )
+
     loss_meter = {}
-    for epoch in range(cfg.n_epoch):
+    for epoch in range(start_epoch, cfg.n_epoch):
         loss_meter = {p: AverageMeter() for p in ("train", "val")}
         for phase, loader in loaders.items():
             pipe_ms = [0.0]
@@ -153,28 +189,12 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             pipe.flush()
             logger.info("epoch %d %s avg loss %.4f", epoch + 1, phase,
                         loss_meter[phase].avg)
+        if cfg.save_every_epoch and epoch + 1 < cfg.n_epoch:
+            save(epoch + 1)
 
     # checkpoint ---------------------------------------------------------------
     chpt = checkpoint_path(folder, cfg.run_id)
-    save_checkpoint(
-        chpt,
-        {
-            "model_state_dict": jax.device_get(state.params),
-            "opt": jax.device_get(state.opt_state),
-            "epoch": np.int32(cfg.n_epoch),
-        },
-        meta={
-            "run_id": cfg.run_id,
-            "epoch": cfg.n_epoch,
-            "train_loss": loss_meter.get("train", AverageMeter()).avg,
-            "val_loss": loss_meter.get("val", AverageMeter()).avg,
-            "batch_size": cfg.data.batch_size,
-            "world_size": int(mesh.devices.size),
-            "lr": cfg.optim.lr,
-            "family": "videomae",
-            "script": cfg.script,
-        },
-    )
+    save(cfg.n_epoch)
     logger.info("checkpoint saved at %s", chpt)
     return {
         "checkpoint": str(chpt),

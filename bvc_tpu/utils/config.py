@@ -229,6 +229,11 @@ class TrainConfig:
     run_id: str = ""
     savedir: str = ""
     init_checkpoint_path: str = "na"
+    # mid-stage preemption recovery (beyond the reference, whose resume
+    # granularity is the curriculum stage — SURVEY.md §5): checkpoint each
+    # epoch and pick up from our own model_{run_id}.ckpt when present
+    save_every_epoch: bool = False
+    resume: bool = False
     n_epoch: int = 1
     max_epoch_iters: int = 0  # 0 → as many as the data allows
     seed: int = 0

@@ -68,3 +68,28 @@ class TestTrainerEndToEnd:
         cfg.data.n_trainsamples = 16
         summary = run_pretraining(cfg)
         assert summary["val_loss"] > 0
+
+
+class TestResume:
+    def test_epoch_checkpointing_and_resume(self, frame_corpus, tmp_path):
+        # run 1: two epochs with per-epoch saves, interrupt after epoch 1
+        cfg = tiny_train_cfg(frame_corpus, tmp_path, run_id="dev_1_g0_default_0_9")
+        cfg.n_epoch = 1
+        cfg.save_every_epoch = True
+        s1 = run_pretraining(cfg)
+        from bvc_tpu.training.checkpoint import load_meta
+
+        meta1 = load_meta(s1["checkpoint"])
+        assert meta1["epoch"] == 1
+
+        # run 2: same run-id, resume=True, target 2 epochs → continues
+        # from epoch 1 instead of restarting
+        cfg2 = tiny_train_cfg(frame_corpus, tmp_path, run_id="dev_1_g0_default_0_9")
+        cfg2.n_epoch = 2
+        cfg2.resume = True
+        s2 = run_pretraining(cfg2)
+        meta2 = load_meta(s2["checkpoint"])
+        assert meta2["epoch"] == 2
+        csv = (tmp_path / "csvlog_dev_1_g0_default_0_9.csv").read_text().splitlines()
+        # resumed run logs only epoch-2 rows (epoch column == 2)
+        assert all(row.split(",")[0] == "2" for row in csv[1:])
