@@ -161,6 +161,94 @@ def videomae_to_hf_state_dict(params: dict, cfg) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# JEPA (reference's from-scratch ViT, pretraining/predictive/vision_transformer.py)
+# ---------------------------------------------------------------------------
+
+
+def _block_from_ref_vit(sd: dict, prefix: str) -> dict:
+    """One block from the reference ViT naming (``blocks.{i}.*``):
+    fused qkv Linear WITH k-bias (unlike HF), torch [out, in] kernels."""
+    g = lambda k: np.asarray(sd[prefix + k], dtype=np.float32)
+    return {
+        "ln1": {"scale": g("norm1.weight"), "bias": g("norm1.bias")},
+        "attn": {
+            "qkv": {"kernel": g("attn.qkv.weight").T, "bias": g("attn.qkv.bias")},
+            "proj": {"kernel": g("attn.proj.weight").T, "bias": g("attn.proj.bias")},
+        },
+        "ln2": {"scale": g("norm2.weight"), "bias": g("norm2.bias")},
+        "mlp": {
+            "fc1": {"kernel": g("mlp.fc1.weight").T, "bias": g("mlp.fc1.bias")},
+            "fc2": {"kernel": g("mlp.fc2.weight").T, "bias": g("mlp.fc2.bias")},
+        },
+    }
+
+
+def jepa_encoder_from_reference(sd: dict, depth: int = 12) -> dict:
+    """Reference ``VisionTransformer.state_dict()`` → our encoder pytree.
+
+    ``pos_embed`` is skipped — it is a frozen buffer we recompute exactly
+    (:func:`bvc_tpu.models.posenc.positional_encoding_3d`, golden-tested).
+    """
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+    proj = sd["patch_embed.proj.weight"]  # [D, C, ts, p, p]
+    D = proj.shape[0]
+    return {
+        "patch_embed": {
+            "kernel": proj.reshape(D, -1).T.astype(np.float32),
+            "bias": np.asarray(sd["patch_embed.proj.bias"], np.float32),
+        },
+        "blocks": _stack(
+            [_block_from_ref_vit(sd, f"blocks.{i}.") for i in range(depth)]
+        ),
+        "norm": {
+            "scale": np.asarray(sd["norm.weight"], np.float32),
+            "bias": np.asarray(sd["norm.bias"], np.float32),
+        },
+    }
+
+
+def jepa_predictor_from_reference(sd: dict, depth: int = 6) -> dict:
+    """Reference ``VisionTransformerPredictor.state_dict()`` → our
+    predictor pytree (``predictor_pos_embed`` buffer skipped, recomputed)."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+    return {
+        "embed": {
+            "kernel": _t(sd["predictor_embed.weight"]),
+            "bias": np.asarray(sd["predictor_embed.bias"], np.float32),
+        },
+        "mask_token": np.asarray(sd["mask_token"], np.float32),
+        "blocks": _stack(
+            [_block_from_ref_vit(sd, f"predictor_blocks.{i}.") for i in range(depth)]
+        ),
+        "norm": {
+            "scale": np.asarray(sd["predictor_norm.weight"], np.float32),
+            "bias": np.asarray(sd["predictor_norm.bias"], np.float32),
+        },
+        "proj": {
+            "kernel": _t(sd["predictor_proj.weight"]),
+            "bias": np.asarray(sd["predictor_proj.bias"], np.float32),
+        },
+    }
+
+
+def load_reference_jepa_checkpoint(path: str, depth: int = 12,
+                                   pred_depth: int = 6) -> dict:
+    """Load a reference JEPA ``model_*.pth.tar``
+    (``pretrain_jepa.py:126-142`` format: encoder/predictor/target_encoder
+    keys) into our three-model pytrees."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return {
+        "encoder": jepa_encoder_from_reference(ckpt["encoder"], depth),
+        "predictor": jepa_predictor_from_reference(ckpt["predictor"], pred_depth),
+        "target_encoder": jepa_encoder_from_reference(ckpt["target_encoder"], depth),
+    }
+
+
 def load_reference_checkpoint(path: str, depth: int = 12, decoder_depth: int = 4) -> dict:
     """Load a reference ``model_*.pth.tar`` (torch) into our params
     pytree — migration path for users with existing reference

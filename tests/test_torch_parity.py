@@ -135,3 +135,79 @@ class TestVideoMAEParity:
         orig = {k: v.detach().numpy() for k, v in model.state_dict().items()}
         for k, v in sd.items():
             np.testing.assert_allclose(v, orig[k], rtol=1e-6, err_msg=k)
+
+
+class TestJepaReferenceInterop:
+    """Converter from the reference's from-scratch ViT naming.
+
+    Builds a torch module with the reference's exact parameter naming
+    (fused qkv Linear incl. k-bias, patch_embed.proj Conv3d, blocks.{i})
+    and checks the converted pytree drives our encoder to the same
+    outputs as a hand-rolled torch forward.
+    """
+
+    def _ref_like_encoder(self, dim=24, depth=2, heads=2, ts=2, p=8):
+        import torch.nn as nn
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+                self.attn = nn.Module()
+                self.attn.qkv = nn.Linear(dim, dim * 3, bias=True)
+                self.attn.proj = nn.Linear(dim, dim)
+                self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+                self.mlp = nn.Module()
+                self.mlp.fc1 = nn.Linear(dim, dim * 4)
+                self.mlp.fc2 = nn.Linear(dim * 4, dim)
+
+        class Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.patch_embed = nn.Module()
+                self.patch_embed.proj = nn.Conv3d(3, dim, (ts, p, p), (ts, p, p))
+                self.blocks = nn.ModuleList([Block() for _ in range(depth)])
+                self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+        torch.manual_seed(0)
+        return Enc()
+
+    def test_encoder_conversion_matches_torch_forward(self):
+        from bvc_tpu.models import jepa
+        from bvc_tpu.models.torch_interop import jepa_encoder_from_reference
+        from bvc_tpu.utils.config import ModelConfig
+
+        dim, depth, heads = 24, 2, 2
+        enc = self._ref_like_encoder(dim, depth, heads).eval()
+        params = jepa_encoder_from_reference(enc.state_dict(), depth=depth)
+        cfg = ModelConfig(image_size=32, patch_size=8, num_frames=2,
+                          tubelet_size=2, hidden_size=dim, depth=depth,
+                          num_heads=heads, dtype="float32")
+        video = np.random.default_rng(0).standard_normal((1, 2, 32, 32, 3)).astype(np.float32)
+
+        import jax.numpy as jnp
+
+        ours = np.asarray(jepa.encoder_forward(
+            jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(video), cfg))
+
+        # torch forward replicating the reference semantics
+        from bvc_tpu.models.posenc import positional_encoding_3d
+
+        with torch.no_grad():
+            x = torch.from_numpy(video).permute(0, 4, 1, 2, 3)  # NCDHW
+            tok = enc.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            tok = tok + torch.from_numpy(
+                positional_encoding_3d(1, 4, 4, dim))[None].squeeze(0)
+            for blk in enc.blocks:
+                h = blk.norm1(tok)
+                qkv = blk.attn.qkv(h).reshape(1, -1, 3, heads, dim // heads)
+                q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                att = torch.softmax(
+                    (q.transpose(1, 2) @ k.transpose(1, 2).transpose(-2, -1))
+                    * (dim // heads) ** -0.5, dim=-1)
+                o = (att @ v.transpose(1, 2)).transpose(1, 2).reshape(1, -1, dim)
+                tok = tok + blk.attn.proj(o)
+                h2 = blk.norm2(tok)
+                tok = tok + blk.mlp.fc2(torch.nn.functional.gelu(blk.mlp.fc1(h2)))
+            expected = enc.norm(tok).numpy()
+        np.testing.assert_allclose(ours, expected, rtol=2e-3, atol=2e-4)
