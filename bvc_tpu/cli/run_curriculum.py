@@ -62,22 +62,13 @@ def main(argv=None):
         from bvc_tpu.cli.common import parse_mesh
 
         base.mesh_shape = parse_mesh(args.mesh)
-    preset_name = args.preset
+    preset = FAMILY_PRESETS[args.preset]
     if args.override:
-        import dataclasses
+        from bvc_tpu.curriculum.presets import apply_overrides
 
-        overrides = {}
-        for part in args.override.split(","):
-            k, v = part.split("=")
-            overrides[k.strip()] = type(
-                getattr(FAMILY_PRESETS[args.preset], k.strip())
-            )(v)
-        preset_name = f"{args.preset}__override"
-        FAMILY_PRESETS[preset_name] = dataclasses.replace(
-            FAMILY_PRESETS[args.preset], **overrides
-        )
+        preset = apply_overrides(preset, args.override)
     results = run_curriculum(
-        args.curriculum, preset_name, base,
+        args.curriculum, preset, base,
         n_stages=args.n_stages, condition=args.condition,
         init_checkpoint_path=args.init_checkpoint_path,
     )

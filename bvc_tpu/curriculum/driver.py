@@ -141,16 +141,20 @@ def _trainer_for(family: str):
 
 def run_curriculum(
     curriculum: str,
-    preset_name: str,
+    preset: "str | FamilyPreset",
     base: TrainConfig,
     n_stages: int = 3,
     condition: str = "default",
     init_checkpoint_path: str = "na",
     mesh=None,
 ) -> dict[str, Any]:
-    """Run all stages; returns {stage → summary} + checkpoint chain."""
+    """Run all stages; returns {stage → summary} + checkpoint chain.
+
+    ``preset`` may be a registry name or a FamilyPreset instance (e.g.
+    from ``apply_overrides``)."""
     logger = get_logger("bvc_tpu.curriculum")
-    preset = FAMILY_PRESETS[preset_name]
+    if isinstance(preset, str):
+        preset = FAMILY_PRESETS[preset]
     base = copy.deepcopy(base)
     base.data.condition = condition
     plan = stage_plan(curriculum, preset, base.seed, condition, n_stages)

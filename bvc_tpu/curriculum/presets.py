@@ -102,6 +102,33 @@ FAMILY_PRESETS: dict[str, FamilyPreset] = {
     ),
 }
 
+def apply_overrides(preset: FamilyPreset, spec: str) -> FamilyPreset:
+    """Materialise a preset with ``k=v,k=v`` overrides (CLI smoke runs).
+
+    Values are coerced to the field's type; booleans accept
+    true/false/y/n/1/0 (``bool("False")`` is True — never use raw bool()).
+    """
+    import dataclasses
+
+    overrides = {}
+    for part in spec.split(","):
+        if not part.strip():
+            continue
+        k, v = (x.strip() for x in part.split("="))
+        current = getattr(preset, k)  # AttributeError on unknown keys
+        if isinstance(current, bool):
+            lv = v.lower()
+            if lv in ("1", "true", "y", "yes"):
+                overrides[k] = True
+            elif lv in ("0", "false", "n", "no"):
+                overrides[k] = False
+            else:
+                raise ValueError(f"bad boolean override {k}={v!r}")
+        else:
+            overrides[k] = type(current)(v)
+    return dataclasses.replace(preset, **overrides)
+
+
 CONDITION_FRAME_OVERRIDES = {
     # mst/mt variants run single-frame models
     # (complexity_control/slurm_dev_mst.bash)

@@ -25,7 +25,11 @@ def _load():
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        src = Path(__file__).parent / "decode.cpp"
+        stale = _LIB_PATH.exists() and src.exists() and (
+            src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        )
+        if not _LIB_PATH.exists() or stale:
             from bvc_tpu.native.build import build
 
             build(verbose=False)

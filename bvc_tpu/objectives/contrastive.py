@@ -60,12 +60,16 @@ def info_nce_loss(
     temperature: float = 0.1,
     mode: str = "parity",
     replica_ids: jnp.ndarray | None = None,
+    n_replicas: int = 1,
 ) -> jnp.ndarray:
     """Loss over interleaved ``[2B, D]`` features.
 
-    ``replica_ids``: optional ``[2B]`` int array; when given, pairs that
-    span different ids are excluded from the negative set
-    (``per_replica_negatives`` reference semantics).
+    ``replica_ids``/``n_replicas``: when given, the loss is computed PER
+    REPLICA (its own positives and its own log-partition over only its
+    negatives) and averaged — exactly what the reference's per-rank loss
+    + DDP gradient averaging produces (``pretrain_simclr.py`` runs the
+    whole criterion per rank).  A pooled logsumexp over all replicas'
+    negatives would weight negatives differently and is NOT equivalent.
     """
     n = feats.shape[0]
     sim = _cosine_matrix(feats) / temperature
@@ -75,14 +79,26 @@ def info_nce_loss(
         pos_np, neg_np = standard_pair_masks(n)
     pos_mask = jnp.asarray(pos_np)
     neg_mask = jnp.asarray(neg_np)
-    if replica_ids is not None:
-        # scope BOTH masks: the reference's per-rank loss never sees any
-        # pair (positive or negative) that straddles a rank boundary
+
+    from jax.scipy.special import logsumexp
+
+    if replica_ids is not None and n_replicas > 1:
         same = replica_ids[:, None] == replica_ids[None, :]
         neg_mask = neg_mask & same
         pos_mask = pos_mask & same
-
-    from jax.scipy.special import logsumexp
+        if mode == "parity":
+            losses = []
+            for r in range(n_replicas):
+                in_r = replica_ids[:, None] == r
+                neg_r = jnp.where(neg_mask & in_r, sim, -jnp.inf)
+                log_z_r = logsumexp(neg_r.reshape(-1))
+                pos_r = pos_mask & in_r
+                pos_mean_r = jnp.sum(jnp.where(pos_r, sim, 0.0)) / jnp.maximum(
+                    jnp.sum(pos_r), 1
+                )
+                losses.append(log_z_r - pos_mean_r)
+            return jnp.mean(jnp.stack(losses))
+        # standard mode is already per-anchor; scoped masks suffice
 
     if mode == "parity":
         # global log-partition over every negative pair (reference quirk 2)

@@ -51,13 +51,19 @@ def all_gather_objects(data: dict[str, Any]) -> list[dict[str, Any]]:
         else:
             arr = np.asarray(val)
             # hosts may hold different row counts (uneven slices, dropped
-            # undecodable samples): pad to the max, carry counts alongside
-            counts = multihost_utils.process_allgather(
-                np.asarray([arr.shape[0]], np.int64)
-            ).ravel()
+            # undecodable samples) and a zero-row host may not even know
+            # the trailing dims — agree on the full padded shape first
+            shape_vec = np.zeros(8, np.int64)
+            shape_vec[0] = arr.shape[0]
+            for d, sz in enumerate(arr.shape[1:], start=1):
+                shape_vec[d] = sz
+            shapes = multihost_utils.process_allgather(shape_vec)
+            counts = shapes[:, 0]
+            trailing = tuple(int(x) for x in shapes.max(axis=0)[1:] if x > 0)
             max_rows = int(counts.max())
-            padded = np.zeros((max_rows,) + arr.shape[1:], arr.dtype)
-            padded[: arr.shape[0]] = arr
+            padded = np.zeros((max_rows,) + trailing, arr.dtype)
+            if arr.shape[0]:
+                padded[: arr.shape[0]] = arr.reshape((arr.shape[0],) + trailing)
             gathered = multihost_utils.process_allgather(padded)
             for i in range(jax.process_count()):
                 out[i][key] = gathered[i][: int(counts[i])]

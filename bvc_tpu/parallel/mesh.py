@@ -57,11 +57,16 @@ def distributed_init(
     )
     if coordinator_address is None:
         return  # single-host: nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ.get("SLURM_NTASKS", 1)),
-        process_id=process_id or int(os.environ.get("SLURM_PROCID", 0)),
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes or int(os.environ.get("SLURM_NTASKS", 1)),
+            process_id=process_id or int(os.environ.get("SLURM_PROCID", 0)),
+        )
+    except RuntimeError as e:
+        # already initialised by a launcher/wrapper — graceful no-op
+        if "already" not in str(e):
+            raise
     _DIST_INITIALIZED = True
 
 

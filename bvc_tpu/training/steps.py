@@ -265,15 +265,17 @@ def make_simclr_train_step(
 
         per_shard = (B + data_size - 1) // data_size
         replica_ids = None
+        n_rep = 1
         if negatives == "per_replica" and data_size > 1:
             sample_ids = jnp.arange(B) // per_shard
             replica_ids = jnp.repeat(sample_ids, 2)
+            n_rep = data_size
 
         def loss_fn(params):
             feats, new_stats = resnet.apply(
                 params, state.extra, x, arch, training=True, dtype=dtype
             )
-            loss = info_nce_loss(feats, temperature, loss_mode, replica_ids)
+            loss = info_nce_loss(feats, temperature, loss_mode, replica_ids, n_rep)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

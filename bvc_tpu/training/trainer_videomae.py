@@ -63,6 +63,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             ("%d", "epoch"), ("%d", "itr"),
             ("%.5f", "train loss"), ("%.5f", "val loss"),
             ("%.4e", "grad-EFL"), ("%.4e", "grad-ELL"), ("%.4e", "grad-DLL"),
+            append=cfg.resume,  # keep prior epochs' rows when resuming
         )
 
     # model / optimizer / state ------------------------------------------------
@@ -80,17 +81,32 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     own_ckpt = checkpoint_path(folder, cfg.run_id)
     if cfg.resume and own_ckpt.exists():
         # mid-stage preemption recovery: restore weights + optimizer +
-        # epoch from this run's own checkpoint
+        # epoch + step/rng (so mask streams continue, not replay)
         logger.info("resuming from %s", own_ckpt)
         like = {
             "model_state_dict": state.params,
             "opt": state.opt_state,
             "epoch": np.zeros((), np.int32),
+            "step": np.asarray(state.step),
+            "rng": np.asarray(state.rng),
         }
         restored = load_checkpoint(own_ckpt, like=like)
         start_epoch = int(restored["epoch"])
         state = state.replace(params=restored["model_state_dict"],
-                              opt_state=restored["opt"])
+                              opt_state=restored["opt"],
+                              step=jnp.asarray(restored["step"]),
+                              rng=jnp.asarray(restored["rng"]))
+        if start_epoch >= cfg.n_epoch:
+            logger.info("run already complete (epoch %d/%d) — nothing to do",
+                        start_epoch, cfg.n_epoch)
+            from bvc_tpu.training.checkpoint import load_meta
+
+            meta = load_meta(own_ckpt)
+            return {
+                "checkpoint": str(own_ckpt),
+                "train_loss": meta.get("train_loss", 0.0),
+                "val_loss": meta.get("val_loss", 0.0),
+            }
     state = place_state(state, mesh, cfg.param_sharding)
     step = make_videomae_train_step(
         mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, GRAD_PROBES
@@ -131,6 +147,8 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 "model_state_dict": jax.device_get(state.params),
                 "opt": jax.device_get(state.opt_state),
                 "epoch": np.int32(epoch_done),
+                "step": np.asarray(jax.device_get(state.step)),
+                "rng": np.asarray(jax.device_get(state.rng)),
             },
             meta={
                 "run_id": cfg.run_id,

@@ -28,9 +28,15 @@ class CSVLogger:
         CSVLogger(path, ('%d', 'epoch'), ('%d', 'itr'), ('%.5f', 'loss'))
     """
 
-    def __init__(self, fname: str, *columns: tuple[str, str]):
+    def __init__(self, fname: str, *columns: tuple[str, str], append: bool = False):
+        """``append=True`` preserves existing rows (mid-stage resume) and
+        only writes the header when the file doesn't exist yet."""
+        import os
+
         self.fname = fname
         self.types = [c[0] for c in columns]
+        if append and os.path.exists(fname):
+            return
         with open(self.fname, "w") as f:
             f.write(",".join(c[1] for c in columns) + "\n")
 

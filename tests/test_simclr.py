@@ -152,22 +152,26 @@ class TestPerReplicaNegatives:
         feats = jnp.array(rng.standard_normal((8, 4)), jnp.float32)
         # 2 replicas of 2 samples (4 rows each)
         ids = jnp.array([0, 0, 0, 0, 1, 1, 1, 1])
-        scoped = float(info_nce_loss(feats, 0.1, "parity", replica_ids=ids))
+        scoped = float(info_nce_loss(feats, 0.1, "parity", replica_ids=ids,
+                                     n_replicas=2))
         global_ = float(info_nce_loss(feats, 0.1, "parity"))
         assert scoped != global_
-        # scoped loss must equal the mean-of-positives form computed from
-        # only same-replica negatives
+        # reference semantics: each rank computes its own loss
+        # (logsumexp over ITS negatives − mean of ITS positives) and DDP
+        # averages — not a pooled logsumexp over all replicas' negatives
         f = np.asarray(feats)
         f = f / np.linalg.norm(f, axis=-1, keepdims=True)
         sim = (f @ f.T) / 0.1
         i = np.arange(8)[:, None]; j = np.arange(8)[None, :]
-        same = (i // 4) == (j // 4)
-        pos = (np.abs(i - j) == 1) & same
-        neg = ~((np.abs(i - j) == 1) | (i == j)) & same
-        m = sim[neg].max()
-        log_z = m + np.log(np.exp(sim[neg] - m).sum())
-        expected = log_z - sim[pos].mean()
-        assert scoped == pytest.approx(float(expected), rel=1e-5)
+        per_rank = []
+        for r in (0, 1):
+            in_r = (i // 4 == r) & (j // 4 == r)
+            pos = (np.abs(i - j) == 1) & in_r
+            neg = ~((np.abs(i - j) == 1) | (i == j)) & in_r
+            m = sim[neg].max()
+            log_z = m + np.log(np.exp(sim[neg] - m).sum())
+            per_rank.append(log_z - sim[pos].mean())
+        assert scoped == pytest.approx(float(np.mean(per_rank)), rel=1e-5)
 
     def test_step_with_per_replica(self):
         from bvc_tpu.training.steps import make_simclr_train_step

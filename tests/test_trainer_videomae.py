@@ -91,5 +91,13 @@ class TestResume:
         meta2 = load_meta(s2["checkpoint"])
         assert meta2["epoch"] == 2
         csv = (tmp_path / "csvlog_dev_1_g0_default_0_9.csv").read_text().splitlines()
-        # resumed run logs only epoch-2 rows (epoch column == 2)
-        assert all(row.split(",")[0] == "2" for row in csv[1:])
+        # resumed run APPENDS: epoch-1 rows survive, epoch-2 rows follow
+        epochs = [row.split(",")[0] for row in csv[1:]]
+        assert "1" in epochs and "2" in epochs
+        assert epochs == sorted(epochs)
+
+        # resuming an already-complete run is a no-op that preserves meta
+        s3 = run_pretraining(cfg2)
+        meta3 = load_meta(s3["checkpoint"])
+        assert meta3["epoch"] == 2
+        assert meta3["train_loss"] == meta2["train_loss"]
