@@ -40,6 +40,14 @@ def build_parser():
     p.add_argument("--mesh", type=str, default="")
     p.add_argument("--param_sharding", type=str, default="replicated")
     p.add_argument("--segment_minutes", type=float, default=30.0)
+    p.add_argument("--extract", type=str, default="",
+                   help="benchmark extraction after the stages, e.g. "
+                        "'ssv2=/data/ssv2,toybox=/data/toybox' (the bash "
+                        "scripts' final --checkpoint_dir sweep)")
+    p.add_argument("--untrained_baseline", type=str, default="n",
+                   help="y: stage-0 extraction from random init")
+    p.add_argument("--frame_rate", type=int, default=12)
+    p.add_argument("--extract_batch_size", type=int, default=64)
     p.add_argument("--override", type=str, default="",
                    help="comma-separated preset overrides, e.g. "
                         "'n_epoch=1,max_epoch_iters=3,n_trainsamples=64,"
@@ -67,10 +75,21 @@ def main(argv=None):
         from bvc_tpu.curriculum.presets import apply_overrides
 
         preset = apply_overrides(preset, args.override)
+    extraction = None
+    if args.extract:
+        extraction = [
+            {"ds_task": part.split("=")[0].strip(),
+             "vid_root": part.split("=")[1].strip(),
+             "frame_rate": args.frame_rate,
+             "batch_size": args.extract_batch_size}
+            for part in args.extract.split(",")
+        ]
     results = run_curriculum(
         args.curriculum, preset, base,
         n_stages=args.n_stages, condition=args.condition,
         init_checkpoint_path=args.init_checkpoint_path,
+        extraction=extraction,
+        untrained_baseline=args.untrained_baseline == "y",
     )
     print(json.dumps({"final_checkpoint": results["final_checkpoint"]}))
     return results

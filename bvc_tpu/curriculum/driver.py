@@ -139,6 +139,59 @@ def _trainer_for(family: str):
     return run_pretraining
 
 
+def _run_extraction(
+    task: dict[str, Any],
+    checkpoints: list[str],
+    run_ids: list[str],
+    model_cfg,
+    family: str,
+    base: TrainConfig,
+    mesh,
+    logger,
+) -> list[dict[str, Any]]:
+    """Extract embeddings for every (checkpoint, run_id) over one task.
+
+    ``checkpoints[i] == 'na'`` uses an untrained model (the bash stage-0
+    baseline, ``slurm_dev_def.bash:68-87``).
+    """
+    from bvc_tpu.evalbench.extract import (
+        extract_embeddings,
+        make_embed_fn,
+        make_task_dataset,
+        save_results,
+        untrained_embed_fn,
+    )
+    from bvc_tpu.utils.logging import is_main_process
+
+    savedir = task.get(
+        "savedir", str(Path(base.savedir) / "benchmarks" / task["ds_task"])
+    )
+    outs = []
+    for ckpt, run_id in zip(checkpoints, run_ids):
+        if ckpt == "na":
+            fn = untrained_embed_fn(family, model_cfg, base.seed)
+        else:
+            fn = make_embed_fn(family, ckpt, model_cfg)
+        for phase in ("train", "test"):
+            ds = make_task_dataset(
+                task["ds_task"], task["vid_root"],
+                task.get("frame_rate", 12), model_cfg.num_frames,
+                train=(phase == "train"),
+                image_size=model_cfg.image_size,
+                annotation_path=task.get("annotation_path", ""),
+            )
+            names, embs = extract_embeddings(
+                fn, ds, task.get("batch_size", 64), mesh,
+                base.data.num_workers,
+            )
+            if is_main_process():
+                path = save_results(names, embs, phase, run_id, savedir)
+                logger.info("extraction: %s %s -> %s", task["ds_task"], phase, path)
+                outs.append({"ds_task": task["ds_task"], "phase": phase,
+                             "run_id": run_id, "csv": path})
+    return outs
+
+
 def run_curriculum(
     curriculum: str,
     preset: "str | FamilyPreset",
@@ -147,11 +200,22 @@ def run_curriculum(
     condition: str = "default",
     init_checkpoint_path: str = "na",
     mesh=None,
+    extraction: list[dict[str, Any]] | None = None,
+    untrained_baseline: bool = False,
 ) -> dict[str, Any]:
     """Run all stages; returns {stage → summary} + checkpoint chain.
 
     ``preset`` may be a registry name or a FamilyPreset instance (e.g.
-    from ``apply_overrides``)."""
+    from ``apply_overrides``).
+
+    ``extraction``: optional benchmark extraction specs (dicts with
+    ``ds_task``, ``vid_root`` and optional ``frame_rate``/``batch_size``/
+    ``savedir``/``annotation_path``) — the bash scripts' final
+    ``--checkpoint_dir`` sweep (``slurm_dev_def.bash:165-177``) over every
+    stage checkpoint.  ``untrained_baseline`` additionally runs the
+    stage-0 extraction from random init with run-id
+    ``{curr}_0_na_{condition}_0_{seed}`` (``:68-87``).
+    """
     logger = get_logger("bvc_tpu.curriculum")
     if isinstance(preset, str):
         preset = FAMILY_PRESETS[preset]
@@ -159,8 +223,17 @@ def run_curriculum(
     base.data.condition = condition
     plan = stage_plan(curriculum, preset, base.seed, condition, n_stages)
     trainer = _trainer_for(preset.family)
+    model_cfg = build_stage_config(preset, plan[0], base).model
 
     results: dict[str, Any] = {"curriculum": curriculum, "stages": []}
+    if untrained_baseline and extraction:
+        rid0 = str(RunId(curriculum, 0, "na", condition, 0, base.seed))
+        for task in extraction:
+            results.setdefault("extraction", []).extend(
+                _run_extraction(task, ["na"], [rid0], model_cfg,
+                                preset.family, base, mesh, logger)
+            )
+
     ckpt = init_checkpoint_path
     for info in plan:
         cfg = build_stage_config(preset, info, base)
@@ -172,6 +245,15 @@ def run_curriculum(
         ckpt = summary["checkpoint"]
         results["stages"].append({**info, **summary})
     results["final_checkpoint"] = ckpt
+
+    if extraction:
+        ckpts = [s["checkpoint"] for s in results["stages"]]
+        rids = [s["run_id"] for s in results["stages"]]
+        for task in extraction:
+            results.setdefault("extraction", []).extend(
+                _run_extraction(task, ckpts, rids, model_cfg,
+                                preset.family, base, mesh, logger)
+            )
 
     manifest = Path(base.savedir) / f"curriculum_{curriculum}_{condition}_{base.seed}.json"
     manifest.parent.mkdir(parents=True, exist_ok=True)

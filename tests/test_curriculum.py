@@ -5,6 +5,22 @@ import json
 import numpy as np
 import pytest
 
+
+@pytest.fixture(scope="module")
+def ssv2_like(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ssv2_like")
+    rng = np.random.default_rng(0)
+    for split in ["train", "val"]:
+        for vid in range(4):
+            d = root / split / str(vid)
+            d.mkdir(parents=True)
+            for i in range(6):
+                arr = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.jpg")
+    return str(root)
+
 from bvc_tpu.curriculum.driver import build_stage_config, run_curriculum, stage_plan
 from bvc_tpu.curriculum.presets import CURRICULA, FAMILY_PRESETS
 from bvc_tpu.utils.config import TrainConfig
@@ -97,3 +113,45 @@ class TestRunCurriculum:
             (tmp_path / "curriculum_dev_default_0.json").read_text()
         )
         assert manifest["final_checkpoint"].endswith(f"model_{s2['run_id']}.ckpt")
+
+
+class TestCurriculumExtraction:
+    def test_stages_plus_extraction_sweep(self, frame_corpus, tmp_path, ssv2_like):
+        import dataclasses
+
+        from bvc_tpu.curriculum import presets
+        from bvc_tpu.curriculum.driver import run_curriculum
+        from bvc_tpu.curriculum.presets import FAMILY_PRESETS
+
+        tiny = dataclasses.replace(
+            FAMILY_PRESETS["generative"],
+            n_epoch=1, batch_size=1, max_epoch_iters=2, n_trainsamples=16,
+            num_frames=4, tubelet_size=2,
+        )
+        base = TrainConfig(savedir=str(tmp_path), seed=0, log_freq=1)
+        base.data.jpg_root = frame_corpus
+        base.data.image_size = 32
+        base.data.segment_minutes = 0.011
+        base.data.num_workers = 2
+        base.model.image_size = 32
+        base.model.patch_size = 8
+        base.model.hidden_size = 32
+        base.model.depth = 1
+        base.model.num_heads = 4
+        base.model.decoder_hidden_size = 16
+        base.model.decoder_depth = 1
+        base.model.decoder_num_heads = 2
+        base.model.dtype = "float32"
+        base.mask.mask_ratio = 0.75
+        results = run_curriculum(
+            "dev", tiny, base, n_stages=1,
+            extraction=[{"ds_task": "ssv2", "vid_root": ssv2_like,
+                         "frame_rate": 12, "batch_size": 2}],
+            untrained_baseline=True,
+        )
+        emb_dir = tmp_path / "benchmarks" / "ssv2"
+        # stage-0 baseline + stage-1, train and test CSVs each
+        assert (emb_dir / "embeddings_dev_0_na_default_0_0.csv").exists()
+        assert (emb_dir / "embeddings_dev_1_g0_default_1_0.csv").exists()
+        assert (emb_dir / "test" / "embeddings_dev_1_g0_default_1_0.csv").exists()
+        assert len(results["extraction"]) == 4
