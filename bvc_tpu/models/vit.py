@@ -160,6 +160,23 @@ VIT_DIMS: dict[str, tuple[int, int, int]] = {
 VIT_EMBED_DIMS = {k: v[0] for k, v in VIT_DIMS.items()}
 
 
+def block_attention_probs(params: dict, x: jnp.ndarray, num_heads: int,
+                          ln_eps: float = 1e-6) -> jnp.ndarray:
+    """Attention probabilities ``[B, h, N, N]`` of one block — the
+    reference's ``Block.forward(return_attention=True)`` introspection
+    path (``vision_transformer.py:225-228``), used for attention-map
+    visualisation.  Not on the training hot path (materialises N^2)."""
+    B, N, D = x.shape
+    h = layer_norm(x, params["ln1"], ln_eps)
+    qkv = _dense(h, params["attn"]["qkv"], x.dtype)
+    qkv = qkv.reshape(B, N, 3, num_heads, D // num_heads)
+    q, k = qkv[:, :, 0], qkv[:, :, 1]
+    scale = (D // num_heads) ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    return jax.nn.softmax(logits, axis=-1)
+
+
 def mask_gather(x: jnp.ndarray, keep_indices: jnp.ndarray) -> jnp.ndarray:
     """Gather kept patch rows: ``[B, N, D] x [B, K] → [B, K, D]``.
 

@@ -105,3 +105,15 @@ class TestMaskGather:
         out = np.asarray(mask_gather(x, idx))
         np.testing.assert_allclose(out[0], np.asarray(x)[0, [0, 2]])
         np.testing.assert_allclose(out[1], np.asarray(x)[1, [4, 1]])
+
+
+class TestAttentionProbs:
+    def test_block_attention_probs(self):
+        from bvc_tpu.models.vit import block_attention_probs
+
+        key = jax.random.PRNGKey(0)
+        p = init_block(key, dim=16)
+        x = jnp.array(np.random.default_rng(0).standard_normal((2, 6, 16)), jnp.float32)
+        probs = np.asarray(block_attention_probs(p, x, num_heads=2))
+        assert probs.shape == (2, 2, 6, 6)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
