@@ -122,6 +122,11 @@ def get_fpathseqlist(
     at different positions — reference :147-149).
     """
     sample_len = seq_len * ds_rate
+    if sample_len > len(items):
+        raise ValueError(
+            f"clip window ({seq_len}x{ds_rate}={sample_len} frames) exceeds "
+            f"the corpus ({len(items)} frames)"
+        )
     if n_samples is None:
         n_samples = int(len(items) / seq_len)
         sample_stride = sample_len

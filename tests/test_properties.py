@@ -55,6 +55,10 @@ def test_train_val_split_complementary_and_contiguous(n, ratio):
 )
 def test_fpathseqlist_full_length_windows(n, seq_len, data):
     ds_rate = data.draw(st.integers(1, 3))
+    if seq_len * ds_rate > n:
+        with pytest.raises(ValueError):
+            get_fpathseqlist(list(range(n)), seq_len, ds_rate, 1)
+        return
     max_samples = max(1, n // (seq_len * ds_rate) - 1)
     n_samples = data.draw(st.integers(1, min(max_samples, n - 1)))
     items = list(range(n))
