@@ -93,6 +93,14 @@ class MultiBlockMaskCollator:
         self.enc_cap = _max_block_area(
             self.height, self.width, self.enc_mask_scale, (1.0, 1.0)
         )
+        if self.pred_cap < 1 or self.enc_cap < 1:
+            raise ValueError(
+                f"mask caps degenerate (enc_cap={self.enc_cap}, "
+                f"pred_cap={self.pred_cap}) on a {self.height}x{self.width} "
+                f"patch grid: scale ranges enc={self.enc_mask_scale} / "
+                f"pred={self.pred_mask_scale} select zero-token blocks — "
+                "lower patch_size, raise image_size, or widen the scales"
+            )
 
     def step(self) -> int:
         """Advance the shared counter (replayed on resume like the

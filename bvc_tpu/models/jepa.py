@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bvc_tpu.models.initializers import layernorm_params, linear_params, trunc_normal
-from bvc_tpu.models.posenc import positional_encoding_3d
+from bvc_tpu.models.posenc import interpolate_pos_table_3d, positional_encoding_3d
 from bvc_tpu.models.vit import init_blocks, layer_norm, run_blocks
 from bvc_tpu.ops.patchify import tubelet_patchify
 from bvc_tpu.utils.config import ModelConfig
@@ -93,6 +93,15 @@ def _dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def _dpr(cfg: ModelConfig, rng, depth: int | None = None):
+    """Per-layer stochastic-depth schedule when training with
+    ``drop_path_rate > 0`` (reference decay rule ``linspace(0, rate, d)``,
+    ``vision_transformer.py:345,444``); None otherwise."""
+    if rng is None or cfg.drop_path_rate <= 0.0:
+        return None
+    return np.linspace(0.0, cfg.drop_path_rate, depth or cfg.depth)
+
+
 def _safe_gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """take_along_axis treating -1 padding as index 0 (rows are later
     neutralised by the validity mask)."""
@@ -104,12 +113,24 @@ def encoder_forward(
     video: jnp.ndarray,
     cfg: ModelConfig,
     keep_idx: jnp.ndarray | None = None,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Encode ``[B, T, H, W, C]`` video.
 
     ``keep_idx``: optional ``[B, K]`` int32 token indices (−1 = padding)
     — the reference's ``forward(x, masks)`` path.  Returns ``[B, K, D]``
     (or ``[B, N, D]`` unmasked), final-normed.
+
+    ``rng``: training-mode rng enabling stochastic depth when
+    ``cfg.drop_path_rate > 0`` (reference ``:345-349``; every shipped
+    config runs 0.0).
+
+    Inputs at a different spatial resolution than ``cfg.image_size`` get
+    the baked position table bicubically resized per time slice — the
+    reference's ``interpolate_pos_encoding`` intent (``:388,404-418``; see
+    :func:`bvc_tpu.models.posenc.interpolate_pos_table_3d` for why the
+    reference's own video path is latently broken).  The time grid must
+    match: the reference has no resize semantics for it either.
     """
     dtype = _dtype(cfg)
     from bvc_tpu.models.videomae import normalize_on_device
@@ -119,7 +140,18 @@ def encoder_forward(
         video, enc_params["patch_embed"]["kernel"], enc_params["patch_embed"]["bias"],
         cfg.tubelet_size, cfg.patch_size, dtype,
     )
-    tokens = tokens + jnp.asarray(encoder_pos_table(cfg), dtype)[None]
+    t, h, w = _grid(cfg)
+    t_in = video.shape[1] // cfg.tubelet_size
+    h_in, w_in = video.shape[2] // cfg.patch_size, video.shape[3] // cfg.patch_size
+    table = encoder_pos_table(cfg)
+    if (t_in, h_in, w_in) != (t, h, w):
+        if t_in != t:
+            raise ValueError(
+                f"time grid {t_in} != configured {t}: positional tables "
+                "only interpolate spatially"
+            )
+        table = interpolate_pos_table_3d(table, t, h, w, h_in, w_in)
+    tokens = tokens + jnp.asarray(table, dtype)[None]
     key_mask = None
     if keep_idx is not None:
         key_mask = keep_idx >= 0
@@ -127,6 +159,7 @@ def encoder_forward(
     x = run_blocks(
         enc_params["blocks"], tokens, cfg.num_heads, cfg.layer_norm_eps,
         cfg.remat, key_mask=key_mask,
+        drop_path_rates=_dpr(cfg, rng), rng=rng,
     )
     return layer_norm(x, enc_params["norm"], cfg.layer_norm_eps)
 
@@ -137,12 +170,14 @@ def predictor_forward(
     enc_idx: jnp.ndarray,
     pred_idx: jnp.ndarray,
     cfg: ModelConfig,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Predict target-position features from context features.
 
     z: ``[B, Ke, D_enc]`` encoder output at context positions
     enc_idx: ``[B, Ke]`` (−1 padded), pred_idx: ``[M, B, Kp]`` (−1 padded)
-    Returns ``[M, B, Kp, D_enc]``.
+    Returns ``[M, B, Kp, D_enc]``.  ``rng`` enables stochastic depth as in
+    :func:`encoder_forward` (reference predictor decay rule ``:444``).
     """
     dtype = z.dtype
     M, B, Kp = pred_idx.shape
@@ -167,6 +202,7 @@ def predictor_forward(
     full = run_blocks(
         pred_params["blocks"], full, cfg.num_heads, cfg.layer_norm_eps,
         cfg.remat, key_mask=key_mask,
+        drop_path_rates=_dpr(cfg, rng, cfg.pred_depth), rng=rng,
     )
     out = full[:, Ke:]
     out = layer_norm(out, pred_params["norm"], cfg.layer_norm_eps)

@@ -81,6 +81,106 @@ def _sincos_1d_halves(embed_dim: int, pos: np.ndarray) -> np.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
 
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic-convolution weights ``[len(t), 4]`` for the 4-tap kernel at
+    fractional offset ``t`` (Keys kernel, torch's a=-0.75)."""
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0,
+            ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+            np.where(x < 2.0, (((x - 5.0) * x + 8.0) * x - 4.0) * a, 0.0),
+        )
+    return np.stack([k(t + 1.0), k(t), k(1.0 - t), k(2.0 - t)], axis=-1)
+
+
+def _bicubic_axis(x: np.ndarray, out_size: int, scale: float) -> np.ndarray:
+    """Resize axis 0 of ``x`` with torch's bicubic semantics
+    (``align_corners=False``: src = (dst + 0.5) / scale − 0.5, 4-tap Keys
+    kernel a=−0.75, borders clamped)."""
+    in_size = x.shape[0]
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) / scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = src - i0
+    w = _cubic_weights(t)  # [out, 4]
+    taps = np.stack(
+        [np.clip(i0 + d, 0, in_size - 1) for d in (-1, 0, 1, 2)], axis=-1
+    )  # [out, 4]
+    gathered = x[taps.reshape(-1)].reshape(out_size, 4, *x.shape[1:])
+    w = w.reshape(out_size, 4, *([1] * (x.ndim - 1)))
+    return np.sum(gathered * w, axis=1)
+
+
+def bicubic_resize_2d(grid: np.ndarray, scale_factor: float) -> np.ndarray:
+    """``[H, W, D] → [floor(H*sf), floor(W*sf), D]`` replicating
+    ``torch.nn.functional.interpolate(mode='bicubic', align_corners=False,
+    scale_factor=sf)`` — output size floored, source coordinates mapped
+    with the *given* scale factor (torch keeps the provided scale when
+    ``recompute_scale_factor`` is unset), golden-tested against torch in
+    ``tests/test_posenc.py``."""
+    H, W, _ = grid.shape
+    out_h, out_w = int(H * scale_factor), int(W * scale_factor)
+    out = _bicubic_axis(grid.astype(np.float64), out_h, scale_factor)
+    out = np.moveaxis(
+        _bicubic_axis(np.moveaxis(out, 1, 0), out_w, scale_factor), 0, 1
+    )
+    return out
+
+
+def interpolate_pos_table(table: np.ndarray, npatch: int,
+                          cls_token: bool = False) -> np.ndarray:
+    """Bicubically resize a square-grid position table to ``npatch``
+    positions — the reference's ``interpolate_pos_encoding``
+    (``pretraining/predictive/vision_transformer_image.py:426-440``,
+    identical code at ``vision_transformer.py:404-418``): strip the cls
+    row if present, reshape the rest to its sqrt(N) square grid, resize by
+    ``scale_factor=sqrt(npatch/N)`` bicubic, flatten, re-prepend cls.
+
+    ``table``: ``[N(+1), D]``.  Returns ``[npatch(+1), D]`` float32.
+    """
+    cls_row = None
+    if cls_token:
+        cls_row, table = table[:1], table[1:]
+    n = table.shape[0]
+    if npatch == n:
+        out = table
+    else:
+        g = int(np.sqrt(n))
+        assert g * g == n, f"pos table length {n} is not a square grid"
+        out = bicubic_resize_2d(
+            table.reshape(g, g, -1), float(np.sqrt(npatch / n))
+        ).reshape(-1, table.shape[-1])
+        assert out.shape[0] == npatch, (
+            f"bicubic resize produced {out.shape[0]} positions, wanted {npatch}"
+        )
+    if cls_row is not None:
+        out = np.concatenate([cls_row, out], axis=0)
+    return out.astype(np.float32)
+
+
+def interpolate_pos_table_3d(table: np.ndarray, t: int, h: int, w: int,
+                             new_h: int, new_w: int) -> np.ndarray:
+    """Spatially resize a ``[t*h*w, D]`` video position table to
+    ``[t*new_h*new_w, D]`` (bicubic per time slice).
+
+    The reference's video ViT routes through the same 2-D
+    ``interpolate_pos_encoding`` (``vision_transformer.py:388,404-418``),
+    which treats token 0 as a class embedding and assumes a square
+    ``sqrt(N)`` grid — latently broken for ``t*h*w`` video tables (it can
+    only ever hit its ``npatch == N`` early-return in the shipped
+    configs).  This implements the evident intent: per-time-slice spatial
+    bicubic with the same torch kernel semantics.
+    """
+    grid = table.reshape(t, h, w, -1).astype(np.float64)
+    sf = new_h / h
+    out = np.stack([bicubic_resize_2d(grid[i], sf) for i in range(t)])
+    assert out.shape[1:3] == (new_h, new_w), (
+        f"spatial resize produced {out.shape[1:3]}, wanted {(new_h, new_w)}"
+    )
+    return out.reshape(t * new_h * new_w, -1).astype(np.float32)
+
+
 def sincos_2d(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:
     """``[grid^2 (+1), embed_dim]`` image-ViT table
     (``get_2d_sincos_pos_embed``, ``:82-108``): positions flattened

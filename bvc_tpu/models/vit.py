@@ -14,9 +14,12 @@ parameter pytrees:
   the configured compute dtype; LayerNorm statistics and softmax in f32.
   This subsumes the reference's ``torch.cuda.amp.autocast(bfloat16)`` +
   GradScaler (the scaler is a no-op for bf16 and is dropped).
-- **No dropout paths**: every reference config runs drop_rate =
-  attn_drop = drop_path = 0.0 (SURVEY.md §2.4), so the hot path omits them;
-  stochastic depth can be added at the call site if ever needed.
+- **Dropout paths**: every reference config runs drop_rate = attn_drop =
+  0.0 (SURVEY.md §2.4) so plain dropout is omitted, but DropPath /
+  stochastic depth (reference ``vision_transformer.py:145-164``, per-layer
+  rates ``linspace(0, rate, depth)`` at ``:345``) IS implemented — pass
+  ``drop_path_rates`` + ``rng`` to :func:`run_blocks`.  With the default
+  ``None`` the hot path is untouched.
 
 Block math matches ``Block.forward`` (``vision_transformer.py:225-231``):
 pre-LN, fused-qkv attention, exact-erf GELU MLP, residual adds.
@@ -100,10 +103,28 @@ def _dense(x, p, dtype):
     return out
 
 
+def drop_path(x: jnp.ndarray, rate: jnp.ndarray, rng: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample stochastic depth on a residual branch — reference
+    ``drop_path`` (``vision_transformer.py:145-155``): Bernoulli(1−rate)
+    over the batch axis, surviving branches scaled by 1/(1−rate).
+    ``rate`` may be a traced scalar (scanned per-layer schedule)."""
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return x * (mask.astype(x.dtype) / keep.astype(x.dtype))
+
+
 def block_apply(params: dict, x: jnp.ndarray, num_heads: int,
                 ln_eps: float = 1e-6, attn_impl: str = "auto",
-                key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
-    """One pre-LN transformer block on ``[B, N, D]``."""
+                key_mask: jnp.ndarray | None = None,
+                drop_path_rate: jnp.ndarray | None = None,
+                rng: jnp.ndarray | None = None) -> jnp.ndarray:
+    """One pre-LN transformer block on ``[B, N, D]``.
+
+    ``drop_path_rate`` + ``rng``: stochastic depth on both residual
+    branches with independent draws (reference ``Block.forward``,
+    ``vision_transformer.py:229-230`` — ``self.drop_path`` samples fresh
+    per call)."""
     B, N, D = x.shape
     dtype = x.dtype
     h = layer_norm(x, params["ln1"], ln_eps)
@@ -112,12 +133,16 @@ def block_apply(params: dict, x: jnp.ndarray, num_heads: int,
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     attn_out = multi_head_attention(q, k, v, impl=attn_impl, key_mask=key_mask)
     attn_out = _dense(attn_out.reshape(B, N, D), params["attn"]["proj"], dtype)
+    if drop_path_rate is not None:
+        attn_out = drop_path(attn_out, drop_path_rate, jax.random.fold_in(rng, 0))
     x = x + attn_out
 
     h = layer_norm(x, params["ln2"], ln_eps)
     h = _dense(h, params["mlp"]["fc1"], dtype)
     h = jax.nn.gelu(h, approximate=False)
     h = _dense(h, params["mlp"]["fc2"], dtype)
+    if drop_path_rate is not None:
+        h = drop_path(h, drop_path_rate, jax.random.fold_in(rng, 1))
     return x + h
 
 
@@ -129,16 +154,38 @@ def run_blocks(
     remat: bool = False,
     attn_impl: str = "auto",
     key_mask: jnp.ndarray | None = None,
+    drop_path_rates: jnp.ndarray | None = None,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Scan the stacked blocks over ``x``."""
+    """Scan the stacked blocks over ``x``.
 
-    def body(carry, layer_params):
-        out = block_apply(layer_params, carry, num_heads, ln_eps, attn_impl, key_mask)
-        return out, None
+    ``drop_path_rates``: optional ``[depth]`` per-layer stochastic-depth
+    schedule (the reference's ``linspace(0, rate, depth)`` decay rule,
+    ``vision_transformer.py:345``), scanned alongside the params with a
+    per-layer rng; requires ``rng``.
+    """
+    if drop_path_rates is not None:
+        assert rng is not None, "drop_path_rates requires an rng"
+        depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        xs = (stacked, jnp.asarray(drop_path_rates, jnp.float32),
+              jax.random.split(rng, depth))
+
+        def body(carry, layer):
+            layer_params, rate, key = layer
+            out = block_apply(layer_params, carry, num_heads, ln_eps,
+                              attn_impl, key_mask, rate, key)
+            return out, None
+    else:
+        xs = stacked
+
+        def body(carry, layer_params):
+            out = block_apply(layer_params, carry, num_heads, ln_eps,
+                              attn_impl, key_mask)
+            return out, None
 
     if remat:
         body = jax.checkpoint(body)
-    out, _ = jax.lax.scan(body, x, stacked)
+    out, _ = jax.lax.scan(body, x, xs)
     return out
 
 

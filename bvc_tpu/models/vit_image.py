@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bvc_tpu.models.initializers import layernorm_params, trunc_normal
-from bvc_tpu.models.posenc import sincos_2d
+from bvc_tpu.models.posenc import interpolate_pos_table, sincos_2d
 from bvc_tpu.models.vit import init_blocks, layer_norm, run_blocks
 from bvc_tpu.utils.config import ModelConfig
 
@@ -54,7 +54,15 @@ def forward(params: dict, images: jnp.ndarray, cfg: ModelConfig,
     tokens = jnp.dot(tokens, params["patch_embed"]["kernel"].astype(dtype),
                      preferred_element_type=dtype)
     tokens = tokens + params["patch_embed"]["bias"].astype(dtype)
-    tokens = tokens + jnp.asarray(sincos_2d(cfg.hidden_size, grid), dtype)[None]
+    # Table baked at the configured (checkpoint) grid; inputs at another
+    # resolution get the reference's bicubic table resize
+    # (``vision_transformer_image.py:410,426-440``).  Shapes are static at
+    # trace time so this is a build-time numpy constant either way.
+    table = sincos_2d(cfg.hidden_size, grid)
+    npatch = tokens.shape[1]
+    if npatch != grid * grid:
+        table = interpolate_pos_table(table, npatch)
+    tokens = tokens + jnp.asarray(table, dtype)[None]
     key_mask = None
     if keep_idx is not None:
         key_mask = keep_idx >= 0

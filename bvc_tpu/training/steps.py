@@ -145,6 +145,7 @@ def make_jepa_train_step(
     total_steps: int,
     ema: tuple[float, float] = (0.996, 1.0),
     param_mode: str = "replicated",
+    ema_fallback: float = 0.998,
 ):
     """JEPA step: context-encode → predict → smooth-L1 vs frozen EMA
     targets → update online nets → EMA the target encoder.
@@ -155,9 +156,13 @@ def make_jepa_train_step(
       ``pred_idx`` ``[B, M, Kp]``   int32, −1 padded
 
     Subsumes ``pretrain_jepa.py:383-432`` (train_step incl. the momentum
-    loop) in one jitted function; the EMA coefficient ramps
-    0.996 → 1.0 linearly over ``total_steps`` like the reference's
-    generator expression (``:309-311``).
+    loop) in one jitted function; the EMA coefficient replicates the
+    reference's generator exactly (``:309-311`` + the ``next(...)``
+    ``except: m=0.998`` at ``:426-429``): linear 0.996 → 1.0 over
+    ``total_steps``, UNCAPPED for the generator's 5 spare elements (steps
+    ``total_steps..total_steps+4`` get m slightly above 1.0 — a real
+    reference quirk), then ``ema_fallback`` once the generator is
+    exhausted.
     """
     from bvc_tpu.models import jepa
 
@@ -166,6 +171,10 @@ def make_jepa_train_step(
         enc_idx = batch["enc_idx"]
         pred_idx = jnp.transpose(batch["pred_idx"], (1, 0, 2))  # [M, B, Kp]
         rng, _ = jax.random.split(state.rng)
+        # Stochastic-depth rngs (only consumed when drop_path_rate > 0;
+        # fold_in keeps the main rng stream identical either way).
+        dpe = jax.random.fold_in(state.rng, 101) if model_cfg.drop_path_rate > 0 else None
+        dpp = jax.random.fold_in(state.rng, 102) if model_cfg.drop_path_rate > 0 else None
 
         targets = jax.lax.stop_gradient(
             jepa.target_features(state.target_params, video, pred_idx, model_cfg)
@@ -173,9 +182,11 @@ def make_jepa_train_step(
         valid = (pred_idx >= 0).astype(jnp.float32)[..., None]  # [M,B,Kp,1]
 
         def loss_fn(params):
-            z = jepa.encoder_forward(params["encoder"], video, model_cfg, enc_idx)
+            z = jepa.encoder_forward(
+                params["encoder"], video, model_cfg, enc_idx, rng=dpe
+            )
             preds = jepa.predictor_forward(
-                params["predictor"], z, enc_idx, pred_idx, model_cfg
+                params["predictor"], z, enc_idx, pred_idx, model_cfg, rng=dpp
             )
             per = smooth_l1(preds, targets) * valid
             denom = jnp.maximum(jnp.sum(valid), 1.0) * preds.shape[-1]
@@ -185,9 +196,12 @@ def make_jepa_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # EMA target update with the linear 0.996→1.0 ramp
-        frac = jnp.minimum(state.step.astype(jnp.float32) / max(total_steps, 1), 1.0)
-        m = ema[0] + frac * (ema[1] - ema[0])
+        # EMA coefficient: uncapped linear ramp while the reference's
+        # generator still has elements (total_steps+5 of them), then the
+        # exhaustion fallback.
+        i = state.step.astype(jnp.float32)
+        ramp = ema[0] + i * (ema[1] - ema[0]) / max(total_steps, 1)
+        m = jnp.where(state.step < total_steps + 5, ramp, ema_fallback)
         target_params = jax.tree_util.tree_map(
             lambda t, p: t * m + p.astype(t.dtype) * (1.0 - m),
             state.target_params,

@@ -133,7 +133,8 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     # max_epoch_iters=0 the per-epoch count comes from the data)
     total_steps = max(n_batches, 1) * cfg.n_epoch
     step = make_jepa_train_step(
-        mesh, cfg.model, tx, total_steps, cfg.optim.ema, cfg.param_sharding
+        mesh, cfg.model, tx, total_steps, cfg.optim.ema, cfg.param_sharding,
+        ema_fallback=cfg.optim.ema_fallback,
     )
     loader = DataLoader(
         datasets["train"], mesh, global_batch, shuffle=True, seed=cfg.seed,

@@ -237,3 +237,130 @@ class TestJepaTrainerEndToEnd:
         cfg2.init_checkpoint_path = s1["checkpoint"]
         s2 = run_pretraining(cfg2)
         assert np.isfinite(s2["train_loss"])
+
+
+class TestDropPath:
+    def test_branch_semantics(self):
+        from bvc_tpu.models.vit import drop_path
+
+        x = jnp.ones((512, 3, 4))
+        out = np.asarray(drop_path(x, jnp.float32(0.5), jax.random.PRNGKey(0)))
+        # rows are either all-zero or all 1/keep_prob (reference
+        # vision_transformer.py:145-155 per-sample binarized scaling)
+        row = out.reshape(512, -1)
+        zero = np.all(row == 0.0, axis=1)
+        scaled = np.all(np.isclose(row, 2.0), axis=1)
+        assert np.all(zero | scaled)
+        assert 0.3 < zero.mean() < 0.7
+
+    def test_zero_rate_identity(self):
+        from bvc_tpu.models.vit import drop_path
+
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 5)))
+        out = drop_path(x, jnp.float32(0.0), jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+
+    def test_run_blocks_schedule_changes_output_only_in_train(self):
+        from bvc_tpu.models.vit import init_blocks, run_blocks
+
+        cfg = jepa_cfg(drop_path_rate=0.5)
+        blocks = init_blocks(jax.random.PRNGKey(0), cfg.depth, cfg.hidden_size)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 6, 32)), jnp.float32
+        )
+        base = run_blocks(blocks, x, cfg.num_heads)
+        rates = np.linspace(0.0, 0.5, cfg.depth)
+        dropped = run_blocks(blocks, x, cfg.num_heads,
+                             drop_path_rates=rates, rng=jax.random.PRNGKey(3))
+        assert not np.allclose(np.asarray(base), np.asarray(dropped))
+        # layer 0 rate is 0.0 (linspace start) — a depth-1 stack with the
+        # schedule is exactly the deterministic path
+        one = jax.tree_util.tree_map(lambda l: l[:1], blocks)
+        det = run_blocks(one, x, cfg.num_heads)
+        sched = run_blocks(one, x, cfg.num_heads,
+                           drop_path_rates=np.zeros(1), rng=jax.random.PRNGKey(4))
+        np.testing.assert_allclose(np.asarray(det), np.asarray(sched), atol=1e-6)
+
+    def test_train_step_wires_drop_path(self):
+        mesh = make_mesh()
+        cfg = jepa_cfg(drop_path_rate=0.3)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+        import copy
+
+        target = copy.deepcopy(params["encoder"])
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1),
+                                  target_params=target)
+        state = place_state(state, mesh)
+        step = make_jepa_train_step(mesh, cfg, tx, total_steps=100)
+        batch = TestJepaTrainStep._batch(TestJepaTrainStep(), mesh)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestEmaFallback:
+    """Reference schedule quirks (pretrain_jepa.py:309-311,426-429):
+    uncapped ramp for total_steps+5 elements, then m=ema_fallback."""
+
+    def _state_step(self, total_steps, at_step):
+        mesh = make_mesh()
+        cfg = jepa_cfg()
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.0))
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+        import copy
+
+        target = copy.deepcopy(params["encoder"])
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1),
+                                  target_params=target)
+        state = state.replace(step=jnp.asarray(at_step, state.step.dtype)) \
+            if hasattr(state, "replace") else TrainState(
+                step=jnp.asarray(at_step, state.step.dtype), params=state.params,
+                opt_state=state.opt_state, rng=state.rng,
+                target_params=state.target_params, extra=state.extra)
+        state = place_state(state, mesh)
+        step = make_jepa_train_step(mesh, cfg, tx, total_steps=total_steps)
+        batch = TestJepaTrainStep._batch(TestJepaTrainStep(), mesh)
+        _, metrics = step(state, batch)
+        return float(metrics["ema_m"])
+
+    def test_ramp_exceeds_one_in_spare_elements(self):
+        # step T+4 is the generator's last element: m = .996 + (T+4)*.004/T > 1
+        m = self._state_step(total_steps=50, at_step=54)
+        assert m == pytest.approx(0.996 + 54 * 0.004 / 50, abs=1e-6)
+        assert m > 1.0
+
+    def test_exhaustion_falls_back(self):
+        m = self._state_step(total_steps=50, at_step=55)
+        assert m == pytest.approx(0.998, abs=1e-7)
+
+
+class TestPosInterpForward:
+    def test_encoder_other_resolution_runs(self):
+        cfg = jepa_cfg()
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 2, 48, 48, 3)),
+            jnp.float32,
+        )
+        out = jepa.encoder_forward(params["encoder"], video, cfg)
+        assert out.shape == (2, 2 * 6 * 6, cfg.hidden_size)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_encoder_time_mismatch_raises(self):
+        cfg = jepa_cfg()
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+        with pytest.raises(ValueError, match="time grid"):
+            jepa.encoder_forward(params["encoder"], video, cfg)
+
+    def test_image_vit_other_resolution_runs(self):
+        from bvc_tpu.models import vit_image
+
+        cfg = jepa_cfg()
+        params = vit_image.init_params(jax.random.PRNGKey(0), cfg)
+        images = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 48, 48, 3)), jnp.float32
+        )
+        out = vit_image.forward(params, images, cfg)
+        assert out.shape == (2, 36, cfg.hidden_size)
+        assert np.all(np.isfinite(np.asarray(out)))

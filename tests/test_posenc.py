@@ -79,3 +79,60 @@ class TestSincos2D:
         g = sincos_2d(8, 3, cls_token=True)
         assert g.shape == (10, 8)
         np.testing.assert_allclose(g[0], 0.0)
+
+
+class TestInterpolatePosTable:
+    """Golden vs torch F.interpolate — the reference resize
+    (``vision_transformer_image.py:426-440``)."""
+
+    def _torch_resize(self, tab, g, npatch):
+        import math
+
+        import torch
+        import torch.nn.functional as F
+
+        pe = torch.tensor(tab).reshape(1, g, g, tab.shape[-1]).permute(0, 3, 1, 2)
+        out = F.interpolate(pe, scale_factor=math.sqrt(npatch / (g * g)),
+                            mode="bicubic")
+        return out.permute(0, 2, 3, 1).reshape(-1, tab.shape[-1]).numpy()
+
+    @pytest.mark.parametrize("g,npatch", [(14, 256), (14, 49), (8, 100), (7, 81)])
+    def test_matches_torch_bicubic(self, g, npatch):
+        from bvc_tpu.models.posenc import interpolate_pos_table
+
+        tab = np.random.default_rng(0).standard_normal((g * g, 24)).astype(np.float32)
+        got = interpolate_pos_table(tab, npatch)
+        want = self._torch_resize(tab, g, npatch)
+        assert got.shape == (npatch, 24)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_cls_token_row_preserved(self):
+        from bvc_tpu.models.posenc import interpolate_pos_table
+
+        tab = np.random.default_rng(1).standard_normal((1 + 49, 8)).astype(np.float32)
+        got = interpolate_pos_table(tab, 64, cls_token=True)
+        assert got.shape == (65, 8)
+        np.testing.assert_allclose(got[0], tab[0], atol=0)
+        np.testing.assert_allclose(
+            got[1:], self._torch_resize(tab[1:], 7, 64), atol=1e-5
+        )
+
+    def test_same_size_is_identity(self):
+        from bvc_tpu.models.posenc import interpolate_pos_table
+
+        tab = np.random.default_rng(2).standard_normal((49, 8)).astype(np.float32)
+        np.testing.assert_array_equal(interpolate_pos_table(tab, 49), tab)
+
+    def test_3d_spatial_resize_matches_per_slice_torch(self):
+        from bvc_tpu.models.posenc import interpolate_pos_table_3d
+
+        t, h, w, d = 3, 8, 8, 12
+        tab = np.random.default_rng(3).standard_normal((t * h * w, d)).astype(np.float32)
+        got = interpolate_pos_table_3d(tab, t, h, w, 12, 12)
+        assert got.shape == (t * 12 * 12, d)
+        grid = tab.reshape(t, h, w, d)
+        for i in range(t):
+            want = self._torch_resize(grid[i].reshape(h * w, d), h, 144)
+            np.testing.assert_allclose(
+                got.reshape(t, 144, d)[i], want, atol=1e-5
+            )
