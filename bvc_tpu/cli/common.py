@@ -69,6 +69,9 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     cfg.script = args.script
     cfg.mesh_shape = parse_mesh(args.mesh)
     cfg.param_sharding = args.param_sharding
+    # preemption-recovery flags (present on all three pretrain CLIs)
+    cfg.save_every_epoch = getattr(args, "save_every_epoch", "n") == "y"
+    cfg.resume = getattr(args, "resume", "n") == "y"
 
     d = cfg.data
     d.jpg_root = args.jpg_root

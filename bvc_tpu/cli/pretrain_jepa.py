@@ -30,6 +30,9 @@ def build_parser():
     p.add_argument("--augs", type=str, default="n")
     p.add_argument("--pred_depth", type=int, default=6)
     p.add_argument("--pred_emb_dim", type=int, default=384)
+    p.add_argument("--save_every_epoch", type=str, default="n")
+    p.add_argument("--resume", type=str, default="n",
+                   help="y: pick up from this run's own checkpoint if present")
     return p
 
 

@@ -90,34 +90,67 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             ("%d", "epoch"), ("%d", "itr"), ("%.5f", "loss"),
             ("%.4e", "grad-FL"), ("%.4e", "grad-LL"),
             ("%d", "mask-A"), ("%d", "mask-B"), ("%d", "time (ms)"),
+            append=cfg.resume,  # keep prior epochs' rows when resuming
         )
 
     # model/state --------------------------------------------------------------
     params = jepa.init_params(jax.random.PRNGKey(cfg.seed), cfg.model)
     target_params = copy.deepcopy(params["encoder"])
     tx = make_optimizer(cfg.optim, params)
-    start_epoch = 0
+    chain_start = 0
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1),
                               target_params=target_params)
-    if cfg.init_checkpoint_path != "na":
-        # restore INTO a structural template so the optax pytree shapes
-        # survive serialization (reference loads enc/pred/target AND the
-        # optimizer when chaining stages, pretrain_jepa.py:290-300)
-        logger.info("init from checkpoint %s", cfg.init_checkpoint_path)
-        like = {
+
+    def _like():
+        return {
             "encoder": state.params["encoder"],
             "predictor": state.params["predictor"],
             "target_encoder": state.target_params,
             "opt": state.opt_state,
             "epoch": np.zeros((), np.int32),
+            "step": np.asarray(state.step),
+            "rng": np.asarray(state.rng),
         }
-        restored = load_checkpoint(cfg.init_checkpoint_path, like=like)
-        start_epoch = int(restored["epoch"])
+
+    if cfg.init_checkpoint_path != "na":
+        # restore INTO a structural template so the optax pytree shapes
+        # survive serialization (reference loads enc/pred/target AND the
+        # optimizer when chaining stages, pretrain_jepa.py:290-300).
+        # step/rng are NOT adopted: each stage restarts its EMA ramp like
+        # the reference's per-stage momentum generator (:309-311).
+        logger.info("init from checkpoint %s", cfg.init_checkpoint_path)
+        restored = load_checkpoint(cfg.init_checkpoint_path, like=_like())
+        chain_start = int(restored["epoch"])
         state = state.replace(
             params={"encoder": restored["encoder"], "predictor": restored["predictor"]},
             target_params=restored["target_encoder"],
             opt_state=restored["opt"],
         )
+    start_epoch = chain_start
+    own_ckpt = checkpoint_path(folder, cfg.run_id)
+    if cfg.resume and own_ckpt.exists():
+        # mid-stage preemption recovery: restore all three models,
+        # optimizer, epoch and step/rng (step drives the EMA ramp; the
+        # mask stream is (seed, epoch, batch)-deterministic so it resumes
+        # for free)
+        logger.info("resuming from %s", own_ckpt)
+        restored = load_checkpoint(own_ckpt, like=_like())
+        start_epoch = int(restored["epoch"])
+        state = state.replace(
+            params={"encoder": restored["encoder"], "predictor": restored["predictor"]},
+            target_params=restored["target_encoder"],
+            opt_state=restored["opt"],
+            step=jnp.asarray(restored["step"]),
+            rng=jnp.asarray(restored["rng"]),
+        )
+        if start_epoch >= chain_start + cfg.n_epoch:
+            logger.info("run already complete (epoch %d/%d) — nothing to do",
+                        start_epoch, chain_start + cfg.n_epoch)
+            from bvc_tpu.training.checkpoint import load_meta
+
+            meta = load_meta(own_ckpt)
+            return {"checkpoint": str(own_ckpt),
+                    "train_loss": meta.get("loss", 0.0)}
     state = place_state(state, mesh, cfg.param_sharding)
 
     # data ---------------------------------------------------------------------
@@ -151,8 +184,33 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 
+    def save(epoch_done: int):
+        save_checkpoint(
+            checkpoint_path(folder, cfg.run_id),
+            {
+                "encoder": jax.device_get(state.params["encoder"]),
+                "predictor": jax.device_get(state.params["predictor"]),
+                "target_encoder": jax.device_get(state.target_params),
+                "opt": jax.device_get(state.opt_state),
+                "epoch": np.int32(epoch_done),
+                "step": np.asarray(jax.device_get(state.step)),
+                "rng": np.asarray(jax.device_get(state.rng)),
+            },
+            meta={
+                "run_id": cfg.run_id,
+                "epoch": epoch_done,
+                "loss": loss_meter.avg,
+                "batch_size": cfg.data.batch_size,
+                "world_size": int(mesh.devices.size),
+                "lr": cfg.optim.lr,
+                "family": "jepa",
+                "collator_step": collator.state_dict()["step"],
+                "script": cfg.script,
+            },
+        )
+
     loss_meter = AverageMeter()
-    for epoch in range(start_epoch, start_epoch + cfg.n_epoch):
+    for epoch in range(start_epoch, chain_start + cfg.n_epoch):
         loss_meter = AverageMeter()
         maskA = AverageMeter()
         maskB = AverageMeter()
@@ -185,28 +243,10 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             pipe_ms[0] = pipe.push(itr, metrics)
         pipe.flush()
         logger.info("epoch %d avg loss %.4f", epoch + 1, loss_meter.avg)
+        if cfg.save_every_epoch and epoch + 1 < chain_start + cfg.n_epoch:
+            save(epoch + 1)
 
     chpt = checkpoint_path(folder, cfg.run_id)
-    save_checkpoint(
-        chpt,
-        {
-            "encoder": jax.device_get(state.params["encoder"]),
-            "predictor": jax.device_get(state.params["predictor"]),
-            "target_encoder": jax.device_get(state.target_params),
-            "opt": jax.device_get(state.opt_state),
-            "epoch": np.int32(start_epoch + cfg.n_epoch),
-        },
-        meta={
-            "run_id": cfg.run_id,
-            "epoch": start_epoch + cfg.n_epoch,
-            "loss": loss_meter.avg,
-            "batch_size": cfg.data.batch_size,
-            "world_size": int(mesh.devices.size),
-            "lr": cfg.optim.lr,
-            "family": "jepa",
-            "collator_step": collator.state_dict()["step"],
-            "script": cfg.script,
-        },
-    )
+    save(chain_start + cfg.n_epoch)
     logger.info("checkpoint saved at %s", chpt)
     return {"checkpoint": str(chpt), "train_loss": loss_meter.avg}

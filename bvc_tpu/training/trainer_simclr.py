@@ -48,6 +48,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             str(folder / f"csvlog_{cfg.run_id}.csv"),
             ("%d", "epoch"), ("%d", "itr"), ("%.5f", "train loss"),
             ("%.4e", "grad-conv1"), ("%.4e", "grad-fc0"), ("%d", "time (ms)"),
+            append=cfg.resume,  # keep prior epochs' rows when resuming
         )
 
     arch = cfg.model.architecture or "resnet18"
@@ -65,6 +66,35 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             stats = cast(stats, restored["batch_stats"])
     tx = make_optimizer(cfg.optim)
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1), extra=stats)
+    start_epoch = 0
+    own_ckpt = checkpoint_path(folder, cfg.run_id)
+    if cfg.resume and own_ckpt.exists():
+        # mid-stage preemption recovery: weights + BN running stats +
+        # optimizer + epoch + step/rng (mirrors trainer_videomae.py)
+        logger.info("resuming from %s", own_ckpt)
+        like = {
+            "model_state_dict": state.params,
+            "batch_stats": state.extra,
+            "opt": state.opt_state,
+            "epoch": np.zeros((), np.int32),
+            "step": np.asarray(state.step),
+            "rng": np.asarray(state.rng),
+        }
+        restored = load_checkpoint(own_ckpt, like=like)
+        start_epoch = int(restored["epoch"])
+        state = state.replace(params=restored["model_state_dict"],
+                              extra=restored["batch_stats"],
+                              opt_state=restored["opt"],
+                              step=jnp.asarray(restored["step"]),
+                              rng=jnp.asarray(restored["rng"]))
+        if start_epoch >= cfg.n_epoch:
+            logger.info("run already complete (epoch %d/%d) — nothing to do",
+                        start_epoch, cfg.n_epoch)
+            from bvc_tpu.training.checkpoint import load_meta
+
+            meta = load_meta(own_ckpt)
+            return {"checkpoint": str(own_ckpt),
+                    "train_loss": meta.get("train_loss", 0.0)}
     state = place_state(state, mesh, cfg.param_sharding)
     step = make_simclr_train_step(
         mesh, arch, tx, TEMPERATURE, loss_mode="parity",
@@ -89,8 +119,32 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 
+    def save(epoch_done: int):
+        save_checkpoint(
+            checkpoint_path(folder, cfg.run_id),
+            {
+                "model_state_dict": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.extra),
+                "opt": jax.device_get(state.opt_state),
+                "epoch": np.int32(epoch_done),
+                "step": np.asarray(jax.device_get(state.step)),
+                "rng": np.asarray(jax.device_get(state.rng)),
+            },
+            meta={
+                "run_id": cfg.run_id,
+                "epoch": epoch_done,
+                "train_loss": loss_meter.avg,
+                "batch_size": cfg.data.batch_size,
+                "world_size": int(mesh.devices.size),
+                "lr": cfg.optim.lr,
+                "family": "simclr",
+                "architecture": arch,
+                "script": cfg.script,
+            },
+        )
+
     loss_meter = AverageMeter()
-    for epoch in range(cfg.n_epoch):
+    for epoch in range(start_epoch, cfg.n_epoch):
         loss_meter = AverageMeter()
         pipe_ms = [0.0]
 
@@ -113,27 +167,10 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             pipe_ms[0] = pipe.push(itr, metrics)
         pipe.flush()
         logger.info("epoch %d avg loss %.4f", epoch + 1, loss_meter.avg)
+        if cfg.save_every_epoch and epoch + 1 < cfg.n_epoch:
+            save(epoch + 1)
 
     chpt = checkpoint_path(folder, cfg.run_id)
-    save_checkpoint(
-        chpt,
-        {
-            "model_state_dict": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.extra),
-            "opt": jax.device_get(state.opt_state),
-            "epoch": np.int32(cfg.n_epoch),
-        },
-        meta={
-            "run_id": cfg.run_id,
-            "epoch": cfg.n_epoch,
-            "train_loss": loss_meter.avg,
-            "batch_size": cfg.data.batch_size,
-            "world_size": int(mesh.devices.size),
-            "lr": cfg.optim.lr,
-            "family": "simclr",
-            "architecture": arch,
-            "script": cfg.script,
-        },
-    )
+    save(cfg.n_epoch)
     logger.info("checkpoint saved at %s", chpt)
     return {"checkpoint": str(chpt), "train_loss": loss_meter.avg}

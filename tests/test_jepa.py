@@ -364,3 +364,55 @@ class TestPosInterpForward:
         out = vit_image.forward(params, images, cfg)
         assert out.shape == (2, 36, cfg.hidden_size)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestJepaResume:
+    def _cfg(self, frame_corpus, tmp_path, run_id):
+        cfg = TrainConfig(run_id=run_id, savedir=str(tmp_path),
+                          n_epoch=1, max_epoch_iters=2, seed=0, log_freq=1)
+        cfg.model = jepa_cfg()
+        cfg.data.jpg_root = frame_corpus
+        cfg.data.train_group = "g0"
+        cfg.data.num_frames = 2
+        cfg.data.tubelet_size = 1
+        cfg.data.interval = 5
+        cfg.data.image_size = 32
+        cfg.data.n_trainsamples = 20
+        cfg.data.batch_size = 1
+        cfg.data.num_workers = 0
+        cfg.data.segment_minutes = 0.02
+        cfg.data.augs = "cg"
+        cfg.data.crop_scale = (1.0, 1.0)
+        cfg.mask.enc_mask_scale = (0.85, 1.0)
+        cfg.mask.pred_mask_scale = (0.2, 0.25)
+        cfg.mask.min_keep = 2
+        cfg.optim.lr = 0.01
+        cfg.optim.exclude_bias_and_norm_from_wd = True
+        return cfg
+
+    def test_kill_and_resume(self, frame_corpus, tmp_path):
+        from bvc_tpu.training.checkpoint import load_meta
+        from bvc_tpu.training.trainer_jepa import run_pretraining
+
+        rid = "dev_1_g0_default_0_8"
+        cfg = self._cfg(frame_corpus, tmp_path, rid)
+        cfg.save_every_epoch = True
+        s1 = run_pretraining(cfg)
+        assert load_meta(s1["checkpoint"])["epoch"] == 1
+
+        # resume targeting 2 epochs continues (EMA step restored: the
+        # second epoch's ema_m continues the ramp rather than restarting)
+        cfg2 = self._cfg(frame_corpus, tmp_path, rid)
+        cfg2.n_epoch = 2
+        cfg2.resume = True
+        s2 = run_pretraining(cfg2)
+        meta2 = load_meta(s2["checkpoint"])
+        assert meta2["epoch"] == 2
+        csv = (tmp_path / f"csvlog_{rid}.csv").read_text().splitlines()
+        epochs = [row.split(",")[0] for row in csv[1:]]
+        assert "1" in epochs and "2" in epochs and epochs == sorted(epochs)
+
+        # resuming a complete run is a no-op
+        s3 = run_pretraining(cfg2)
+        assert load_meta(s3["checkpoint"])["epoch"] == 2
+        assert load_meta(s3["checkpoint"])["loss"] == meta2["loss"]

@@ -219,3 +219,51 @@ class TestToyboxSweep:
                                     n_jobs=1, exemplar=True)
         assert len(out) == 1
         assert out["category"].iloc[0] == 1.0
+
+
+class TestSimclrResume:
+    def test_kill_and_resume(self, frame_corpus, tmp_path):
+        from bvc_tpu.training.checkpoint import load_meta
+        from bvc_tpu.training.trainer_simclr import run_pretraining
+        from bvc_tpu.utils import TrainConfig
+
+        rid = "na_1_g0_default_0_8"
+
+        def cfg_for():
+            cfg = TrainConfig(run_id=rid, savedir=str(tmp_path),
+                              n_epoch=1, max_epoch_iters=2, seed=0, log_freq=1)
+            cfg.model.family = "simclr"
+            cfg.model.architecture = "resnet18"
+            cfg.model.pred_emb_dim = 16
+            cfg.data.jpg_root = frame_corpus
+            cfg.data.train_group = "g0"
+            cfg.data.num_frames = 2
+            cfg.data.interval = 5
+            cfg.data.image_size = 32
+            cfg.data.n_trainsamples = 20
+            cfg.data.batch_size = 1
+            cfg.data.num_workers = 0
+            cfg.data.segment_minutes = 0.02
+            cfg.data.augs = "c"
+            cfg.data.crop_scale = (1.0, 1.0)
+            cfg.optim.lr = 0.01
+            return cfg
+
+        cfg = cfg_for()
+        cfg.save_every_epoch = True
+        s1 = run_pretraining(cfg)
+        assert load_meta(s1["checkpoint"])["epoch"] == 1
+
+        cfg2 = cfg_for()
+        cfg2.n_epoch = 2
+        cfg2.resume = True
+        s2 = run_pretraining(cfg2)
+        meta2 = load_meta(s2["checkpoint"])
+        assert meta2["epoch"] == 2
+        csv = (tmp_path / f"csvlog_{rid}.csv").read_text().splitlines()
+        epochs = [row.split(",")[0] for row in csv[1:]]
+        assert "1" in epochs and "2" in epochs and epochs == sorted(epochs)
+
+        s3 = run_pretraining(cfg2)
+        assert load_meta(s3["checkpoint"])["epoch"] == 2
+        assert load_meta(s3["checkpoint"])["train_loss"] == meta2["train_loss"]
