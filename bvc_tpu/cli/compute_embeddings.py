@@ -97,10 +97,10 @@ def main(argv=None):
     for ckpt in ckpts:
         if ckpt == "na":
             run_id = args.run_id or f"untrained_0_na_na_0_{args.seed}"
-            embed_fn = untrained_embed_fn(args.family, model_cfg, args.seed)
+            embed_fn = untrained_embed_fn(args.family, model_cfg, args.seed, mesh=mesh)
         else:
             run_id = args.run_id or run_id_from_checkpoint(ckpt)
-            embed_fn = make_embed_fn(args.family, ckpt, model_cfg)
+            embed_fn = make_embed_fn(args.family, ckpt, model_cfg, mesh=mesh)
         for phase in phases:
             dataset = make_task_dataset(
                 args.ds_task, args.vid_root, args.frame_rate, args.num_frames,

@@ -169,9 +169,9 @@ def _run_extraction(
     outs = []
     for ckpt, run_id in zip(checkpoints, run_ids):
         if ckpt == "na":
-            fn = untrained_embed_fn(family, model_cfg, base.seed)
+            fn = untrained_embed_fn(family, model_cfg, base.seed, mesh=mesh)
         else:
-            fn = make_embed_fn(family, ckpt, model_cfg)
+            fn = make_embed_fn(family, ckpt, model_cfg, mesh=mesh)
         for phase in ("train", "test"):
             ds = make_task_dataset(
                 task["ds_task"], task["vid_root"],

@@ -38,6 +38,7 @@ from bvc_tpu.evalbench.datasets import (
 )
 from bvc_tpu.parallel import make_mesh, shard_batch
 from bvc_tpu.parallel.collectives import all_gather_objects
+from bvc_tpu.parallel.sharding import batch_sharding, replicated_sharding
 from bvc_tpu.training.checkpoint import load_checkpoint, load_meta
 from bvc_tpu.utils.config import ModelConfig, RunId
 from bvc_tpu.utils.logging import get_logger, is_main_process
@@ -59,72 +60,105 @@ def make_task_dataset(ds_task: str, vid_root: str, frame_rate: int,
     raise ValueError(f"unknown ds_task {ds_task!r}")
 
 
-def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig) -> Callable:
-    """Load the checkpoint and return ``fn(video_batch) → [B, D]``."""
+def _jit_embed(core: Callable, params_tree: Any, mesh) -> Callable:
+    """Wrap ``core(params_tree, video) → [B, D]`` as ``fn(video_np)``.
+
+    ``mesh=None``: plain single-device jit (params as jit ARGUMENTS:
+    closing over them would inline every weight as an MLIR constant —
+    catastrophic lowering time + device→host fetches on remote-attached
+    TPUs).
+
+    With a mesh: params replicated, batch sharded on ``data``, output
+    replicated — local-mesh data parallelism matching the reference's
+    4-GPU DDP extraction (``compute_embeddings_videomae.py:214,232-237``)
+    where each rank embeds its shard of the batch.
+    """
+    if mesh is None:
+        jfn = jax.jit(core)
+        return lambda video: jfn(params_tree, jnp.asarray(video))
+    rep = replicated_sharding(mesh)
+    placed = jax.device_put(params_tree, rep)
+    jfn = jax.jit(core, in_shardings=(rep, batch_sharding(mesh)),
+                  out_shardings=rep)
+
+    def fn(video):
+        return jfn(placed, shard_batch(np.asarray(video), mesh))
+
+    return fn
+
+
+def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
+                  mesh=None) -> Callable:
+    """Load the checkpoint and return ``fn(video_batch) → [B, D]``,
+    optionally data-parallel over ``mesh`` (see :func:`_jit_embed`)."""
     restored = load_checkpoint(ckpt_path)
     if family == "videomae":
         from bvc_tpu.models import videomae
 
         params = restored["model_state_dict"]
-        params = jax.tree_util.tree_map(jnp.asarray, params)
-        # params must be jit ARGUMENTS: closing over them would inline
-        # every weight as an MLIR constant (catastrophic lowering time +
-        # device->host fetches on remote-attached TPUs)
-        jfn = jax.jit(lambda prm, video: videomae.embed(prm, video, model_cfg))
-        return lambda video: jfn(params, video)
+        return _jit_embed(
+            lambda prm, video: videomae.embed(prm, video, model_cfg),
+            jax.tree_util.tree_map(np.asarray, params), mesh,
+        )
     if family == "jepa":
         from bvc_tpu.models import jepa as jepa_model
 
         # the reference extracts from the (EMA) target encoder when
         # present, else the online encoder
         enc = restored.get("target_encoder", restored.get("encoder"))
-        enc = jax.tree_util.tree_map(jnp.asarray, enc)
-        jfn = jax.jit(lambda prm, video: jepa_model.embed(prm, video, model_cfg))
-        return lambda video: jfn(enc, video)
+        return _jit_embed(
+            lambda prm, video: jepa_model.embed(prm, video, model_cfg),
+            jax.tree_util.tree_map(np.asarray, enc), mesh,
+        )
     if family == "simclr":
         from bvc_tpu.models import resnet
 
-        params = jax.tree_util.tree_map(jnp.asarray, restored["model_state_dict"])
-        stats = jax.tree_util.tree_map(jnp.asarray, restored["batch_stats"])
         arch = model_cfg.architecture or "resnet18"
 
-        def _embed(prm, st, video):
+        def _embed(tree, video):
             # last frame only (compute_embeddings_simclr.py:227)
             feats, _ = resnet.apply(
-                prm, st, video[:, -1], arch, training=False, with_head=False
+                tree["params"], tree["stats"], video[:, -1], arch,
+                training=False, with_head=False,
             )
             return feats
 
-        jfn = jax.jit(_embed)
-        return lambda video: jfn(params, stats, video)
+        tree = jax.tree_util.tree_map(
+            np.asarray,
+            {"params": restored["model_state_dict"], "stats": restored["batch_stats"]},
+        )
+        return _jit_embed(_embed, tree, mesh)
     raise ValueError(f"unknown family {family!r}")
 
 
-def untrained_embed_fn(family: str, model_cfg: ModelConfig, seed: int = 0) -> Callable:
+def untrained_embed_fn(family: str, model_cfg: ModelConfig, seed: int = 0,
+                       mesh=None) -> Callable:
     """Random-init model — the stage-0 'untrained baseline' path
     (``init_checkpoint_path='na'``, ``slurm_dev_def.bash:80-87``)."""
     if family == "videomae":
         from bvc_tpu.models import videomae
 
         params = videomae.init_params(jax.random.PRNGKey(seed), model_cfg)
-        jfn = jax.jit(lambda prm, v: videomae.embed(prm, v, model_cfg))
-        return lambda v: jfn(params, v)
+        return _jit_embed(
+            lambda prm, v: videomae.embed(prm, v, model_cfg), params, mesh
+        )
     if family == "jepa":
         from bvc_tpu.models import jepa as jepa_model
 
         params = jepa_model.init_encoder_params(jax.random.PRNGKey(seed), model_cfg)
-        jfn = jax.jit(lambda prm, v: jepa_model.embed(prm, v, model_cfg))
-        return lambda v: jfn(params, v)
+        return _jit_embed(
+            lambda prm, v: jepa_model.embed(prm, v, model_cfg), params, mesh
+        )
     if family == "simclr":
         from bvc_tpu.models import resnet
 
         arch = model_cfg.architecture or "resnet18"
         params, stats = resnet.init_params(jax.random.PRNGKey(seed), arch)
-        jfn = jax.jit(
-            lambda prm, st, v: resnet.apply(prm, st, v[:, -1], arch,
-                                            training=False, with_head=False)[0]
+        return _jit_embed(
+            lambda tree, v: resnet.apply(tree["params"], tree["stats"], v[:, -1],
+                                         arch, training=False, with_head=False)[0],
+            {"params": params, "stats": stats}, mesh,
         )
-        return lambda v: jfn(params, stats, v)
     raise ValueError(family)
 
 
@@ -151,11 +185,20 @@ def extract_embeddings(
     mesh=None,
     num_workers: int = 6,
 ) -> tuple[list[str], np.ndarray]:
-    """Run ``embed_fn`` over the whole dataset, multi-host aware."""
+    """Run ``embed_fn`` over the whole dataset, multi-host aware.
+
+    Within a host the batch rides whatever placement ``embed_fn`` was
+    built with (mesh-DP when it came from ``make_embed_fn(..., mesh=)``);
+    across hosts samples are strided-sliced and object-gathered.
+    """
     mesh = mesh or make_mesh()
     logger = get_logger("bvc_tpu.extract")
     import concurrent.futures as cf
 
+    # compiled batch shape: batch_size rounded up so every 'data' shard
+    # gets equal rows (spare rows are pad, dropped after embed)
+    data_size = mesh.shape.get("data", 1)
+    padded_size = -(-batch_size // data_size) * data_size
     fnames: list[str] = []
     embs: list[np.ndarray] = []
     n = len(dataset)
@@ -172,10 +215,10 @@ def extract_embeddings(
             if len(names) == 0:
                 continue
             # pad to full batch for a single compiled shape
-            pad = batch_size - clips.shape[0]
+            pad = padded_size - clips.shape[0]
             if pad:
                 clips = np.concatenate([clips, np.repeat(clips[-1:], pad, 0)])
-            out = np.asarray(embed_fn(jnp.asarray(clips)))
+            out = np.asarray(embed_fn(clips))
             if pad:
                 out = out[: len(names)]
             fnames += list(names)
