@@ -148,18 +148,57 @@ class ToyboxDataset:
         return _transform_frames(frames, self.image_size), fname
 
 
+def resampled_length(n_frames: int, original_fps: float, new_fps: float) -> int:
+    """Length of the resampled timeline under torchvision ``VideoClips``:
+    the integer-step fast path returns ``slice(None, None, step)`` over
+    the full pts list → ``ceil(n/step)`` frames; the float path floors
+    ``n * new_fps / fps``."""
+    step = float(original_fps) / float(new_fps)
+    if step.is_integer():
+        s = int(step)
+        return (n_frames + s - 1) // s
+    return int(n_frames * float(new_fps) / float(original_fps))
+
+
+def resample_video_idx(positions: np.ndarray, original_fps: float,
+                       new_fps: float) -> np.ndarray:
+    """Original-frame index for each resampled position — torchvision's
+    ``VideoClips._resample_video_idx``: position i maps to ``i * step``
+    (integer step) or ``floor(i * step)`` (float step)."""
+    step = float(original_fps) / float(new_fps)
+    if step.is_integer():
+        return np.asarray(positions, np.int64) * int(step)
+    return np.floor(np.asarray(positions, np.float64) * step).astype(np.int64)
+
+
 class UCF101Dataset:
     """UCF-101 avi corpus + official train/test split lists.
 
     Replaces the torchvision ``UCF101`` subclass + ``make_ucf101dataset``
-    (``dsdatasets.py:234-282``): videos from the fold's split file, one
-    clip per ``step_between_clips=300`` frames, decoded with cv2.
+    (``dsdatasets.py:234-282``) with torchvision's ``VideoClips``
+    enumeration semantics: each video's timeline is resampled to
+    ``frame_rate`` (``floor(n * fr / fps)`` positions, each mapping to
+    original frame ``floor(i * fps / fr)``), then full ``sample_len``
+    windows are taken every ``step_between_clips`` resampled frames —
+    videos too short for one window contribute zero clips, exactly like
+    ``VideoClips.compute_clips`` (so CSV row membership matches the
+    reference sweep).
+
+    Per-video metadata (frame count + fps) is probed once with cv2 and
+    persisted to ``bvc_ucf_meta.json`` next to the split lists: a warm
+    cache makes ``__init__`` do ZERO VideoCapture opens (the reference
+    pays torchvision's full corpus scan per instantiation; with ~13k
+    videos that dominated sweep startup).
     """
+
+    META_CACHE = "bvc_ucf_meta.json"
 
     def __init__(self, root: str, annotation_path: str, fold: int = 1,
                  train: bool = True, sample_len: int = 16,
                  frame_rate: int | None = None, step_between_clips: int = 300,
                  image_size: int = 224):
+        import json
+
         self.root = root
         self.sample_len = sample_len
         self.frame_rate = frame_rate
@@ -175,45 +214,93 @@ class UCF101Dataset:
                 rel = line.split()[0]
                 label = rel.split("/")[0]
                 entries.append((rel, label))
-        self.clips: list[tuple[str, str, int]] = []  # (relpath, label, start)
-        for rel, label in entries:
+
+        cache_path = Path(annotation_path) / self.META_CACHE
+        meta: dict[str, list] = {}
+        if cache_path.exists():
+            try:
+                meta = json.loads(cache_path.read_text())
+            except Exception:
+                warnings.warn(f"unreadable clip-index cache {cache_path}; reprobing")
+        probed = 0
+        for rel, _ in entries:
             path = os.path.join(root, rel)
-            if not os.path.exists(path):
+            if rel in meta or not os.path.exists(path):
                 continue
             cap = cv2.VideoCapture(path)
             n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
             cap.release()
-            starts = range(0, max(n - sample_len + 1, 1), self.step)
-            for s in starts:
+            meta[rel] = [n, float(fps)]
+            probed += 1
+        if probed:
+            try:
+                tmp = cache_path.with_suffix(".tmp")
+                tmp.write_text(json.dumps(meta))
+                tmp.replace(cache_path)
+            except OSError as e:  # read-only annotation dir: still works, just slow
+                warnings.warn(f"could not persist clip-index cache: {e}")
+        self.meta = meta
+
+        self.clips: list[tuple[str, str, int]] = []  # (relpath, label, resampled start)
+        dropped = 0
+        for rel, label in entries:
+            if rel not in meta:
+                continue
+            n, fps = meta[rel]
+            if frame_rate and fps > 0:
+                n_res = resampled_length(n, fps, frame_rate)
+            else:
+                n_res = n
+            if n_res < sample_len:
+                dropped += 1
+                continue
+            for s in range(0, n_res - sample_len + 1, self.step):
                 self.clips.append((rel, label, s))
+        if dropped:
+            warnings.warn(
+                f"{dropped} videos shorter than {sample_len} resampled frames "
+                "contribute no clips (torchvision VideoClips semantics)"
+            )
 
     def __len__(self):
         return len(self.clips)
 
     def __getitem__(self, index: int):
-        rel, label, start = self.clips[index]
+        rel, label, rstart = self.clips[index]
         path = os.path.join(self.root, rel)
+        n, fps = self.meta[rel]
+        if self.frame_rate and fps > 0:
+            orig = resample_video_idx(rstart + np.arange(self.sample_len),
+                                      fps, self.frame_rate)
+        else:
+            orig = rstart + np.arange(self.sample_len)
         cap = cv2.VideoCapture(path)
         if not cap.isOpened():
             warnings.warn(f"unable to open {path}")
             return None, None
-        fps = cap.get(cv2.CAP_PROP_FPS) or 25
-        ds = max(1, round(fps / self.frame_rate)) if self.frame_rate else 1
-        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
-        frames: list[np.ndarray] = []
-        count = 0
-        while len(frames) < self.sample_len:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(orig[0]))
+        wanted = set(int(i) for i in orig)
+        frames_by_idx: dict[int, np.ndarray] = {}
+        pos = int(orig[0])
+        while pos <= int(orig[-1]):
             ret, frame = cap.read()
             if not ret:
                 break
-            if count % ds == 0:
-                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-            count += 1
+            if pos in wanted:
+                frames_by_idx[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            pos += 1
         cap.release()
-        if not frames:
+        if not frames_by_idx:
             return None, None
-        while len(frames) < self.sample_len:
-            frames.append(frames[-1])
+        frames: list[np.ndarray] = []
+        last = None
+        for i in orig:
+            f = frames_by_idx.get(int(i), last)
+            if f is None:
+                f = next(iter(frames_by_idx.values()))
+            frames.append(f)
+            last = f
         # fname doubles as the label carrier for UCF101Eval (the notebook
         # uses df['fnames'] directly as the category)
         return _transform_frames(frames, self.image_size), label

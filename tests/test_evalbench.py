@@ -265,3 +265,103 @@ class TestMeshShardedExtraction:
         assert len(names) == 4 and embs.shape[0] == 4
         # every compiled batch is padded to a multiple of the data axis (8)
         assert all(s % 8 == 0 for s in seen)
+
+
+class TestUCF101ClipIndex:
+    """VERDICT r1 #8: cached clip index + torchvision VideoClips
+    enumeration/resampling semantics (reference dsdatasets.py:234-282)."""
+
+    def test_resample_math_matches_torchvision_semantics(self):
+        from bvc_tpu.evalbench.datasets import resample_video_idx, resampled_length
+
+        # integer step (fps 30 → fr 10, step 3): slice path, ceil length
+        assert resampled_length(10, 30, 10) == 4  # 0,3,6,9
+        np.testing.assert_array_equal(
+            resample_video_idx(np.arange(4), 30, 10), [0, 3, 6, 9]
+        )
+        # float step (fps 25 → fr 10, step 2.5): floor path
+        assert resampled_length(10, 25, 10) == 4
+        np.testing.assert_array_equal(
+            resample_video_idx(np.arange(4), 25, 10), [0, 2, 5, 7]
+        )
+        # no-op when rates equal
+        assert resampled_length(7, 12, 12) == 7
+        np.testing.assert_array_equal(resample_video_idx(np.arange(3), 12, 12),
+                                      [0, 1, 2])
+
+    @pytest.fixture()
+    def ucf_corpus(self, tmp_path):
+        import cv2
+
+        root = tmp_path / "UCF-101"
+        ann = tmp_path / "ucfTrainTestlist"
+        ann.mkdir()
+        rng = np.random.default_rng(0)
+        entries = []
+        for label, nframes in [("Basketball", 40), ("Diving", 40), ("Punch", 4)]:
+            d = root / label
+            d.mkdir(parents=True)
+            rel = f"{label}/v_{label}_g01_c01.avi"
+            w = cv2.VideoWriter(str(root / rel),
+                                cv2.VideoWriter_fourcc(*"MJPG"), 25, (32, 24))
+            for _ in range(nframes):
+                w.write(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8))
+            w.release()
+            entries.append(rel)
+        (ann / "trainlist01.txt").write_text(
+            "\n".join(f"{e} 1" for e in entries) + "\n")
+        (ann / "testlist01.txt").write_text("\n".join(entries) + "\n")
+        return str(root), str(ann)
+
+    def test_enumeration_and_cache(self, ucf_corpus, monkeypatch):
+        import cv2
+
+        from bvc_tpu.evalbench.datasets import UCF101Dataset
+
+        root, ann = ucf_corpus
+        with pytest.warns(UserWarning, match="contribute no clips"):
+            ds = UCF101Dataset(root, ann, fold=1, train=True, sample_len=8,
+                               frame_rate=None, step_between_clips=16,
+                               image_size=16)
+        # 40 frames, window 8, step 16 → starts 0,16,32 → but 32+8 > 40?
+        # starts range(0, 40-8+1, 16) = 0,16,32 → 3 clips x 2 long videos;
+        # the 4-frame video is dropped (torchvision subset semantics)
+        assert len(ds) == 6
+        clip, label = ds[0]
+        assert clip.shape == (8, 16, 16, 3) and label == "Basketball"
+
+        # warm cache: second init does ZERO VideoCapture opens
+        assert (Path(ann) / UCF101Dataset.META_CACHE).exists()
+        opens = []
+        real_vc = cv2.VideoCapture
+
+        def counting_vc(*a, **k):
+            opens.append(a)
+            return real_vc(*a, **k)
+
+        monkeypatch.setattr(cv2, "VideoCapture", counting_vc)
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            ds2 = UCF101Dataset(root, ann, fold=1, train=True, sample_len=8,
+                                frame_rate=None, step_between_clips=16,
+                                image_size=16)
+        assert opens == [] and len(ds2) == 6
+
+    def test_resampled_enumeration(self, ucf_corpus):
+        from bvc_tpu.evalbench.datasets import UCF101Dataset
+
+        root, ann = ucf_corpus
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            # fps 25 → fr 5: step 5 integer → ceil(40/5)=8 resampled frames
+            # → exactly one 8-window per long video
+            ds = UCF101Dataset(root, ann, fold=1, train=False, sample_len=8,
+                               frame_rate=5, step_between_clips=300,
+                               image_size=16)
+        assert len(ds) == 2
+        clip, label = ds[0]
+        assert clip.shape == (8, 16, 16, 3)
