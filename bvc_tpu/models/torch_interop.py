@@ -234,6 +234,120 @@ def jepa_predictor_from_reference(sd: dict, depth: int = 6) -> dict:
     }
 
 
+def _block_to_ref_vit(out: dict, prefix: str, blk: dict, i: int) -> None:
+    """Write one stacked-block layer into reference ViT naming (inverse of
+    :func:`_block_from_ref_vit`)."""
+    import jax
+
+    lay = {k: jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32)[i], v)
+           for k, v in blk.items()}
+    out[prefix + "norm1.weight"] = lay["ln1"]["scale"]
+    out[prefix + "norm1.bias"] = lay["ln1"]["bias"]
+    out[prefix + "attn.qkv.weight"] = lay["attn"]["qkv"]["kernel"].T
+    out[prefix + "attn.qkv.bias"] = lay["attn"]["qkv"]["bias"]
+    out[prefix + "attn.proj.weight"] = lay["attn"]["proj"]["kernel"].T
+    out[prefix + "attn.proj.bias"] = lay["attn"]["proj"]["bias"]
+    out[prefix + "norm2.weight"] = lay["ln2"]["scale"]
+    out[prefix + "norm2.bias"] = lay["ln2"]["bias"]
+    out[prefix + "mlp.fc1.weight"] = lay["mlp"]["fc1"]["kernel"].T
+    out[prefix + "mlp.fc1.bias"] = lay["mlp"]["fc1"]["bias"]
+    out[prefix + "mlp.fc2.weight"] = lay["mlp"]["fc2"]["kernel"].T
+    out[prefix + "mlp.fc2.bias"] = lay["mlp"]["fc2"]["bias"]
+
+
+def jepa_encoder_to_reference(enc_params: dict, cfg) -> dict:
+    """Our encoder pytree → reference ``VisionTransformer.state_dict()``
+    layout (``pretraining/predictive/vision_transformer.py:293-343``),
+    incl. the frozen ``pos_embed`` parameter recomputed from the golden
+    :func:`bvc_tpu.models.posenc.positional_encoding_3d` table."""
+    import jax
+
+    from bvc_tpu.models.jepa import encoder_pos_table
+
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), enc_params)
+    ke = host["patch_embed"]["kernel"]  # [C*ts*p*p, D]
+    D = ke.shape[1]
+    out: dict[str, np.ndarray] = {
+        "patch_embed.proj.weight": ke.T.reshape(
+            D, cfg.in_channels, cfg.tubelet_size, cfg.patch_size, cfg.patch_size
+        ),
+        "patch_embed.proj.bias": host["patch_embed"]["bias"],
+        "pos_embed": encoder_pos_table(cfg)[None],
+        "norm.weight": host["norm"]["scale"],
+        "norm.bias": host["norm"]["bias"],
+    }
+    depth = host["blocks"]["ln1"]["scale"].shape[0]
+    for i in range(depth):
+        _block_to_ref_vit(out, f"blocks.{i}.", host["blocks"], i)
+    return out
+
+
+def jepa_predictor_to_reference(pred_params: dict, cfg) -> dict:
+    """Our predictor pytree → reference
+    ``VisionTransformerPredictor.state_dict()`` layout (``:421-535``)."""
+    import jax
+
+    from bvc_tpu.models.jepa import predictor_pos_table
+
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), pred_params)
+    out: dict[str, np.ndarray] = {
+        "predictor_embed.weight": host["embed"]["kernel"].T,
+        "predictor_embed.bias": host["embed"]["bias"],
+        "mask_token": host["mask_token"],
+        "predictor_pos_embed": predictor_pos_table(cfg)[None],
+        "predictor_norm.weight": host["norm"]["scale"],
+        "predictor_norm.bias": host["norm"]["bias"],
+        "predictor_proj.weight": host["proj"]["kernel"].T,
+        "predictor_proj.bias": host["proj"]["bias"],
+    }
+    depth = host["blocks"]["ln1"]["scale"].shape[0]
+    for i in range(depth):
+        _block_to_ref_vit(out, f"predictor_blocks.{i}.", host["blocks"], i)
+    return out
+
+
+def resnet_to_torch_state_dict(params: dict, stats: dict, arch: str) -> dict:
+    """Our ResNet pytree → torchvision state-dict names with the
+    reference's ``fc = Sequential(Linear, ReLU, Linear)`` head
+    (``contrastive/pretrain_simclr.py:71-84``).
+
+    Conv kernels HWIO → OIHW; BN gets running stats +
+    ``num_batches_tracked`` (torch counts batches; we don't track it —
+    exported as 0, torchvision ignores it with momentum set)."""
+    from bvc_tpu.models.resnet import BLOCKS
+
+    kind, reps = BLOCKS[arch]
+    out: dict[str, np.ndarray] = {}
+
+    def conv(name, w):
+        out[name + ".weight"] = np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1))
+
+    def bn(name, p, s):
+        out[name + ".weight"] = np.asarray(p["scale"], np.float32)
+        out[name + ".bias"] = np.asarray(p["bias"], np.float32)
+        out[name + ".running_mean"] = np.asarray(s["mean"], np.float32)
+        out[name + ".running_var"] = np.asarray(s["var"], np.float32)
+        out[name + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    conv("conv1", params["stem"]["conv"])
+    bn("bn1", params["stem"]["bn"], stats["stem"])
+    n_convs = 3 if kind == "bottleneck" else 2
+    for s_i in range(len(reps)):
+        for b, (bp, bs) in enumerate(zip(params[f"stage{s_i}"], stats[f"stage{s_i}"])):
+            pre = f"layer{s_i + 1}.{b}"
+            for c in range(1, n_convs + 1):
+                conv(f"{pre}.conv{c}", bp[f"conv{c}"])
+                bn(f"{pre}.bn{c}", bp[f"bn{c}"], bs[f"bn{c}"])
+            if "down_conv" in bp:
+                conv(f"{pre}.downsample.0", bp["down_conv"])
+                bn(f"{pre}.downsample.1", bp["down_bn"], bs["down_bn"])
+    out["fc.0.weight"] = np.asarray(params["head"]["fc1"]["kernel"], np.float32).T
+    out["fc.0.bias"] = np.asarray(params["head"]["fc1"]["bias"], np.float32)
+    out["fc.2.weight"] = np.asarray(params["head"]["fc2"]["kernel"], np.float32).T
+    out["fc.2.bias"] = np.asarray(params["head"]["fc2"]["bias"], np.float32)
+    return out
+
+
 def load_reference_jepa_checkpoint(path: str, depth: int = 12,
                                    pred_depth: int = 6) -> dict:
     """Load a reference JEPA ``model_*.pth.tar``

@@ -1,0 +1,151 @@
+"""Torch-export CLI: reference-loadable ``model_{run_id}.pth.tar``
+round-trips (VERDICT r1 #9; filename contract
+``slurmscripts/generative/slurm_dev_def.bash:102-103``)."""
+
+import jax
+import numpy as np
+import pytest
+
+from bvc_tpu.cli.export_torch import build_parser, export
+from bvc_tpu.training.checkpoint import save_checkpoint
+from bvc_tpu.utils.config import ModelConfig
+
+
+def _tree_allclose(a, b, atol=1e-6):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+class TestExportVideomae:
+    def test_round_trip(self, tmp_path):
+        import torch
+
+        from bvc_tpu.models import videomae
+        from bvc_tpu.models.torch_interop import videomae_from_hf_state_dict
+
+        cfg = ModelConfig(image_size=32, patch_size=8, num_frames=4,
+                          tubelet_size=2, hidden_size=24, depth=2, num_heads=2,
+                          decoder_hidden_size=16, decoder_depth=1,
+                          decoder_num_heads=2, dtype="float32")
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        ckpt = tmp_path / "model_dev_1_g0_default_0_0.ckpt"
+        save_checkpoint(ckpt, {"model_state_dict": jax.device_get(params)},
+                        meta={"epoch": 3, "train_loss": 0.5, "lr": 0.01,
+                              "batch_size": 8, "world_size": 4})
+        args = build_parser().parse_args([
+            "-checkpoint_path", str(ckpt), "--family", "videomae",
+            "--image_size", "32", "--num_frames", "4", "--tubelet_size", "2",
+        ])
+        # export() only uses in_channels/tubelet/patch from cfg for the
+        # conv reshape; pin the tiny test dims (CLI fixes patch=16 like
+        # the reference)
+        import bvc_tpu.cli.export_torch as et
+
+        orig = et.model_config_from_args
+        et.model_config_from_args = lambda a: cfg
+        try:
+            out = export(args)
+        finally:
+            et.model_config_from_args = orig
+        assert out.endswith("model_dev_1_g0_default_0_0.pth.tar")
+        loaded = torch.load(out, map_location="cpu", weights_only=False)
+        assert loaded["epoch"] == 3 and loaded["world_size"] == 4
+        assert loaded["opt"] is None
+        back = videomae_from_hf_state_dict(loaded["model_state_dict"],
+                                           depth=2, decoder_depth=1)
+        _tree_allclose(back, jax.device_get(params))
+
+
+class TestExportJepa:
+    def test_round_trip(self, tmp_path):
+        import torch
+
+        from bvc_tpu.models import jepa
+        from bvc_tpu.models.jepa import encoder_pos_table
+        from bvc_tpu.models.torch_interop import (
+            jepa_encoder_from_reference,
+            jepa_predictor_from_reference,
+        )
+
+        cfg = ModelConfig(family="jepa", image_size=32, patch_size=8,
+                          num_frames=2, tubelet_size=1, hidden_size=24,
+                          depth=2, num_heads=2, pred_depth=1, pred_emb_dim=16,
+                          dtype="float32")
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+        import copy
+
+        target = copy.deepcopy(params["encoder"])
+        ckpt = tmp_path / "model_dev_1_g0_default_0_1.ckpt"
+        save_checkpoint(ckpt, {
+            "encoder": jax.device_get(params["encoder"]),
+            "predictor": jax.device_get(params["predictor"]),
+            "target_encoder": jax.device_get(target),
+        }, meta={"epoch": 1, "loss": 0.2, "lr": 0.01, "batch_size": 2,
+                 "world_size": 1})
+        args = build_parser().parse_args([
+            "-checkpoint_path", str(ckpt), "--family", "jepa",
+            "--architecture", "tiny", "--image_size", "32",
+            "--num_frames", "2", "--tubelet_size", "1",
+            "--pred_emb_dim", "16",
+        ])
+        # arch table would override dims; pin the tiny test dims
+        import bvc_tpu.cli.export_torch as et
+
+        orig = et.model_config_from_args
+        et.model_config_from_args = lambda a: cfg
+        try:
+            out = export(args)
+        finally:
+            et.model_config_from_args = orig
+        loaded = torch.load(out, map_location="cpu", weights_only=False)
+        assert set(loaded) >= {"encoder", "predictor", "target_encoder",
+                               "opt", "scaler", "epoch", "loss"}
+        # frozen pos_embed buffer exported from the golden table
+        np.testing.assert_allclose(
+            loaded["encoder"]["pos_embed"].numpy(), encoder_pos_table(cfg)[None],
+            atol=0,
+        )
+        enc_back = jepa_encoder_from_reference(loaded["encoder"], depth=2)
+        _tree_allclose(enc_back, jax.device_get(params["encoder"]))
+        pred_back = jepa_predictor_from_reference(loaded["predictor"], depth=1)
+        _tree_allclose(pred_back, jax.device_get(params["predictor"]))
+
+
+class TestExportSimclr:
+    def test_torchvision_key_layout(self, tmp_path):
+        import torch
+
+        from bvc_tpu.models import resnet
+        from bvc_tpu.models.torch_interop import resnet_to_torch_state_dict
+
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18",
+                                           head_dim=16)
+        sd = resnet_to_torch_state_dict(params, stats, "resnet18")
+        # torchvision resnet18 + Sequential head names
+        assert "conv1.weight" in sd and "bn1.running_mean" in sd
+        assert "layer1.0.conv1.weight" in sd
+        assert "layer2.0.downsample.0.weight" in sd
+        assert "layer2.0.downsample.1.running_var" in sd
+        assert "fc.0.weight" in sd and "fc.2.bias" in sd
+        # conv layout OIHW
+        assert sd["conv1.weight"].shape == (64, 3, 7, 7)
+        np.testing.assert_allclose(
+            sd["conv1.weight"],
+            np.transpose(np.asarray(params["stem"]["conv"]), (3, 2, 0, 1)),
+        )
+        # full CLI path
+        ckpt = tmp_path / "model_na_1_g0_default_0_0.ckpt"
+        save_checkpoint(ckpt, {
+            "model_state_dict": jax.device_get(params),
+            "batch_stats": jax.device_get(stats),
+        }, meta={"epoch": 1})
+        args = build_parser().parse_args([
+            "-checkpoint_path", str(ckpt), "--family", "simclr",
+            "--architecture", "resnet18",
+        ])
+        out = export(args)
+        loaded = torch.load(out, map_location="cpu", weights_only=False)
+        assert loaded["model_state_dict"]["fc.0.weight"].shape == (16, 512)
