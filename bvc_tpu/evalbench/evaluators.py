@@ -92,8 +92,42 @@ class ToyBoxEval:
     ``truck_30_pivothead_rzminus.mp4`` → category 'truck',
     identity 'truck30', transformation 'rzminus'."""
 
+    # Known-bad fnames in the real Toybox embeddings CSV, patched by the
+    # notebook's ``fix_fnames`` (cell 8) at these positional rows.  The
+    # reference applies the iloc writes unconditionally; we only patch a
+    # row when its fname is actually malformed (cannot yield all three
+    # labels) so synthetic corpora aren't corrupted, and warn about any
+    # malformed fname at an unexpected position.
+    FNAME_FIXES = {
+        2163: "giraffe_02_pivothead_rzplus.mp4",
+        1851: "duck_06_pivothead_rxminus.mp4",
+        751: "car_03_pivothead_rzminus.mp4",
+    }
+
     def __init__(self, exemplar: bool = True):
         self.exemplar = exemplar
+
+    @staticmethod
+    def _well_formed(fname) -> bool:
+        parts = str(fname).split(".")[0].split("_")
+        return len(parts) >= 4
+
+    def fix_fnames(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Port of the notebook's hard-coded filename corrections."""
+        import warnings
+
+        df = df.copy()
+        col = df.columns.get_loc("fnames")
+        for pos, good in self.FNAME_FIXES.items():
+            if pos < len(df) and not self._well_formed(df.iloc[pos, col]):
+                df.iloc[pos, col] = good
+        bad = [f for f in df["fnames"] if not self._well_formed(f)]
+        if bad:
+            warnings.warn(
+                f"{len(bad)} Toybox fnames remain malformed after fix_fnames "
+                f"(first: {bad[0]!r}); label parsing will fail for them"
+            )
+        return df
 
     @staticmethod
     def get_categorylabel(fname: str) -> str:
@@ -146,7 +180,7 @@ class ToyBoxEval:
         return get_separability_score(df, None, label, method=method, n_jobs=n_jobs)
 
     def proc_fp(self, fp: str, ds_task: str, n_jobs: int = 8) -> float:
-        df = pd.read_csv(fp)
+        df = self.fix_fnames(pd.read_csv(fp))
         df = self.add_labels_to_df(df, ["category", "identity", "transformation"])
         _, test_score = self.get_separability_score(df, ds_task, n_jobs=n_jobs)
         return test_score
@@ -154,7 +188,7 @@ class ToyBoxEval:
     def proc_train_test(self, data_fpaths, score_type: str = "category",
                         eval_type: str = "linear", n_jobs: int = 8):
         dfs = {
-            p: self.add_labels_to_df(pd.read_csv(fp),
+            p: self.add_labels_to_df(self.fix_fnames(pd.read_csv(fp)),
                                      ["category", "identity", "transformation"])
             for p, fp in data_fpaths.items()
         }

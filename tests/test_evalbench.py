@@ -365,3 +365,34 @@ class TestUCF101ClipIndex:
         assert len(ds) == 2
         clip, label = ds[0]
         assert clip.shape == (8, 16, 16, 3)
+
+
+class TestToyboxFnameFixes:
+    """Notebook cell-8 ``fix_fnames`` port: known-bad rows in the real
+    Toybox embeddings CSV are patched positionally, guarded so healthy
+    synthetic rows are untouched."""
+
+    def test_malformed_rows_patched(self):
+        fnames = [f"cat_{i:02d}_pivothead_t.mp4" for i in range(800)]
+        fnames[751] = "corrupted"  # the known-bad position
+        df = pd.DataFrame({"fnames": fnames, "dim0": np.zeros(800)})
+        ev = ToyBoxEval()
+        fixed = ev.fix_fnames(df)
+        assert fixed.iloc[751]["fnames"] == "car_03_pivothead_rzminus.mp4"
+        # healthy rows untouched
+        assert fixed.iloc[750]["fnames"] == fnames[750]
+        # labels now parse for every row
+        out = ev.add_labels_to_df(fixed, ["category", "identity", "transformation"])
+        assert out.iloc[751]["transformation"] == "rzminus"
+
+    def test_healthy_positions_not_overwritten(self):
+        fnames = [f"dog_{i:02d}_pivothead_t.mp4" for i in range(800)]
+        df = pd.DataFrame({"fnames": fnames, "dim0": np.zeros(800)})
+        fixed = ToyBoxEval().fix_fnames(df)
+        assert list(fixed["fnames"]) == fnames
+
+    def test_leftover_malformed_warns(self):
+        df = pd.DataFrame({"fnames": ["bad", "cat_01_pivothead_t.mp4"],
+                           "dim0": [0.0, 0.0]})
+        with pytest.warns(UserWarning, match="remain malformed"):
+            ToyBoxEval().fix_fnames(df)
