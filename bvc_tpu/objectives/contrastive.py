@@ -87,17 +87,32 @@ def info_nce_loss(
         neg_mask = neg_mask & same
         pos_mask = pos_mask & same
         if mode == "parity":
-            losses = []
-            for r in range(n_replicas):
-                in_r = replica_ids[:, None] == r
-                neg_r = jnp.where(neg_mask & in_r, sim, -jnp.inf)
-                log_z_r = logsumexp(neg_r.reshape(-1))
-                pos_r = pos_mask & in_r
-                pos_mean_r = jnp.sum(jnp.where(pos_r, sim, 0.0)) / jnp.maximum(
-                    jnp.sum(pos_r), 1
-                )
-                losses.append(log_z_r - pos_mean_r)
-            return jnp.mean(jnp.stack(losses))
+            # per-replica global logsumexp, vectorized as a segment
+            # reduction over the row's replica id (within-replica entries
+            # only, via `same` above) — one fused kernel instead of a
+            # Python loop that would unroll n_replicas-fold at a pod's
+            # mesh size
+            import jax
+
+            seg = jnp.broadcast_to(replica_ids[:, None], (n, n)).reshape(-1)
+            flat_sim = sim.reshape(-1)
+            flat_neg = neg_mask.reshape(-1)
+            masked = jnp.where(flat_neg, flat_sim, -jnp.inf)
+            seg_max = jax.ops.segment_max(masked, seg, num_segments=n_replicas)
+            seg_max = jnp.maximum(seg_max, -1e30)  # empty segments
+            exps = jnp.where(flat_neg, jnp.exp(masked - seg_max[seg]), 0.0)
+            log_z = seg_max + jnp.log(
+                jax.ops.segment_sum(exps, seg, num_segments=n_replicas)
+            )
+            flat_pos = pos_mask.reshape(-1)
+            pos_sum = jax.ops.segment_sum(
+                jnp.where(flat_pos, flat_sim, 0.0), seg, num_segments=n_replicas
+            )
+            pos_cnt = jax.ops.segment_sum(
+                flat_pos.astype(jnp.float32), seg, num_segments=n_replicas
+            )
+            pos_mean = pos_sum / jnp.maximum(pos_cnt, 1.0)
+            return jnp.mean(log_z - pos_mean)
         # standard mode is already per-anchor; scoped masks suffice
 
     if mode == "parity":

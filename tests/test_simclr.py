@@ -267,3 +267,39 @@ class TestSimclrResume:
         s3 = run_pretraining(cfg2)
         assert load_meta(s3["checkpoint"])["epoch"] == 2
         assert load_meta(s3["checkpoint"])["train_loss"] == meta2["train_loss"]
+
+
+class TestPerReplicaVectorized:
+    def test_segment_path_matches_unrolled_loop(self):
+        """The vectorized per-replica parity loss equals the direct
+        per-replica formula (reference per-rank loss + DDP grad mean)."""
+        import jax.numpy as jnp
+        from jax.scipy.special import logsumexp
+
+        from bvc_tpu.objectives.contrastive import (
+            _cosine_matrix,
+            info_nce_loss,
+            interleaved_pair_masks,
+        )
+
+        rng = np.random.default_rng(0)
+        B, R = 16, 4
+        feats = jnp.asarray(rng.standard_normal((2 * B, 8)), jnp.float32)
+        replica_ids = jnp.asarray(np.repeat(np.arange(B) // (B // R), 2))
+
+        n = feats.shape[0]
+        sim = _cosine_matrix(feats) / 0.1
+        pos_np, neg_np = interleaved_pair_masks(n)
+        same = replica_ids[:, None] == replica_ids[None, :]
+        neg = jnp.asarray(neg_np) & same
+        pos = jnp.asarray(pos_np) & same
+        losses = []
+        for r in range(R):
+            in_r = replica_ids[:, None] == r
+            log_z = logsumexp(jnp.where(neg & in_r, sim, -jnp.inf).reshape(-1))
+            p = pos & in_r
+            pm = jnp.sum(jnp.where(p, sim, 0.0)) / jnp.maximum(jnp.sum(p), 1)
+            losses.append(log_z - pm)
+        want = float(jnp.mean(jnp.stack(losses)))
+        got = float(info_nce_loss(feats, 0.1, "parity", replica_ids, R))
+        assert got == pytest.approx(want, abs=1e-5)
