@@ -7,17 +7,31 @@ per layer — ~50% of the whole train step across the 12+4 layers — and
 runs at ~10% MXU because it streams the 16x6x1568^2 probability matrix
 through HBM.  Flash blocks keep scores in VMEM.
 
-Supports arbitrary sequence lengths via padding: inputs are padded to a
-block multiple and padded *keys* are masked with -inf inside the kernel
-(padded query rows produce garbage and are sliced off).
+Two dispatch paths (measured on v5e at the decoder shape
+``[32, 1568, 6, 64]``, see PERFORMANCE.md):
 
-Backward uses the standard flash recurrences with residuals (o, lse):
+- **divisor path** (N divisible by the dtype sublane tile): blocks are
+  exact divisors of N — no padding, and therefore NO key masking at all.
+  The kernel is VPU-roofline-bound (softmax elementwise at ~24 Gelem/s
+  measured), so every removed elementwise pass counts: dropping the
+  per-block iota/compare/where mask and folding the softmax scale into q
+  outside the kernel took fwd from 6.1 → 4.9 ms.
+- **padded fallback** (any other N): inputs padded to a 128 multiple and
+  padded *keys* masked with -inf inside the kernel (padded query rows
+  produce garbage and are sliced off).
+
+Block sizes MUST divide the (padded) sequence length — pallas grids
+truncate silently otherwise; ``_pick_block`` guarantees it on both paths.
+
+Backward uses the standard flash recurrences with residuals (o, lse),
+over the PRE-SCALED queries Qs = s*Q (the softmax scale reaches dQ via
+the outer autodiff of ``q * scale``, so no kernel touches it):
 
     D_i  = rowsum(dO_i * O_i)
-    P_ij = exp(Q_i K_j^T s - lse_i)
-    dQ_i = s * sum_j (P_ij * (dO_i V_j^T - D_i)) K_j
-    dK_j = s * sum_i (P_ij * (dO_i V_j^T - D_i))^T Q_i
-    dV_j = sum_i P_ij^T dO_i
+    P_ij = exp(Qs_i K_j^T - lse_i)
+    dQs_i = sum_j (P_ij * (dO_i V_j^T - D_i)) K_j
+    dK_j  = sum_i (P_ij * (dO_i V_j^T - D_i))^T Qs_i
+    dV_j  = sum_i P_ij^T dO_i
 
 Replaces the reference's eager ``softmax(q@k.T)@v``
 (``pretraining/predictive/vision_transformer.py:203-207``).
@@ -34,11 +48,16 @@ from jax.experimental import pallas as pl
 _NEG_INF = -1e30
 
 
-def _pick_block(n: int, preferred: int) -> int:
-    b = min(preferred, n)
-    while n % b:
-        b //= 2
-    return max(b, 1)
+def _pick_block(n: int, preferred: int, sub: int = 8) -> int:
+    """Largest divisor of ``n`` that is ≤ ``preferred`` and a multiple of
+    the sublane tile ``sub`` (pallas grids silently truncate when a block
+    does not divide the dim — divisibility is a CORRECTNESS requirement,
+    not a performance one).  Falls back to ``n`` itself."""
+    best = None
+    for b in range(sub, min(preferred, n) + 1, sub):
+        if n % b == 0:
+            best = b
+    return best or n
 
 
 def _kmask(base_col: int, bk: int, n_valid: int, rows: int):
@@ -52,9 +71,12 @@ def _kmask(base_col: int, bk: int, n_valid: int, rows: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_valid):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, n_valid):
     # keep q/k/v in their storage dtype (bf16): MXU runs bf16 inputs with
-    # f32 accumulation ~8x faster than f32 inputs
+    # f32 accumulation ~8x faster than f32 inputs.  q arrives PRE-SCALED
+    # (scale folded outside the kernel — one O(N*d) pass instead of an
+    # O(N^2) one).  n_valid=None ⇒ no padding ⇒ no key mask (the iota/
+    # compare/where mask costs ~20% of the VPU-bound kernel).
     q = q_ref[0, 0]  # [bq, d]
     bq, d = q.shape
     n_kv = k_ref.shape[2]
@@ -64,8 +86,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_valid)
         acc, m_prev, l_prev = carry
         k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = s + _kmask(i * block_k, block_k, n_valid, bq)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if n_valid is not None:
+            s = s + _kmask(i * block_k, block_k, n_valid, bq)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -86,13 +109,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_valid)
     lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), (bq, 8))
 
 
-def _fwd(q, k, v, scale, block_q, block_k, n_valid, interpret):
+def _fwd(q, k, v, block_q, block_k, n_valid, interpret):
     B, h, Np, d = q.shape
-    bq = _pick_block(Np, block_q)
-    bk = _pick_block(Np, block_k)
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    bq = _pick_block(Np, block_q, sub)
+    bk = _pick_block(Np, block_k, sub)
     grid = (B, h, Np // bq)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=bk, n_valid=n_valid),
+        functools.partial(_fwd_kernel, block_k=bk, n_valid=n_valid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
@@ -118,7 +142,10 @@ def _fwd(q, k, v, scale, block_q, block_k, n_valid, interpret):
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               *, scale, block_k, n_valid):
+               *, block_k, n_valid):
+    # q PRE-SCALED outside the custom_vjp: autodiff chains the softmax
+    # scale through the outer ``q * scale``, so this kernel returns plain
+    # dL/dqs = ds @ k — no scale anywhere on the O(N^2) tiles.
     q = q_ref[0, 0]
     do = do_ref[0, 0]
     lse = lse_ref[0, 0][:, :1]
@@ -130,19 +157,21 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     def body(i, acc):
         k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = s + _kmask(i * block_k, block_k, n_valid, bq)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if n_valid is not None:
+            s = s + _kmask(i * block_k, block_k, n_valid, bq)
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = (p * (dp - delta)).astype(k.dtype)
         return acc + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
+    dq_ref[0, 0] = acc.astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                *, scale, block_q, n_valid):
+                *, block_q, n_valid):
+    # dL/dk = dsT @ qs needs NO extra scale: qs already carries it.
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     bk, d = k.shape
@@ -156,8 +185,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :1]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :1]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = s + _kmask(base_col, bk, n_valid, block_q)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if n_valid is not None:
+            s = s + _kmask(base_col, bk, n_valid, block_q)
         p = jnp.exp(s - lse)
         pc = p.astype(do.dtype)
         dv = dv + jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
@@ -169,19 +199,20 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk0 = jnp.zeros((bk, d), jnp.float32)
     dv0 = jnp.zeros((bk, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
-    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, o, lse, do, scale, block_q, block_k, n_valid, interpret):
+def _bwd(q, k, v, o, lse, do, block_q, block_k, n_valid, interpret):
     B, h, Np, d = q.shape
-    bq = _pick_block(Np, block_q)
-    bk = _pick_block(Np, block_k)
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    bq = _pick_block(Np, block_q, sub)
+    bk = _pick_block(Np, block_k, sub)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[..., None], delta.shape + (8,))  # lane-pad
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, block_k=bk, n_valid=n_valid),
+        functools.partial(_dq_kernel, block_k=bk, n_valid=n_valid),
         grid=(B, h, Np // bq),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
@@ -197,7 +228,7 @@ def _bwd(q, k, v, o, lse, do, scale, block_q, block_k, n_valid, interpret):
     )(q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_q=bq, n_valid=n_valid),
+        functools.partial(_dkv_kernel, block_q=bq, n_valid=n_valid),
         grid=(B, h, Np // bk),
         in_specs=[
             pl.BlockSpec((1, 1, Np, d), lambda b, hh, j: (b, hh, 0, 0)),
@@ -225,27 +256,30 @@ def _bwd(q, k, v, o, lse, do, scale, block_q, block_k, n_valid, interpret):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
-)
-def _flash_bhnd(q, k, v, scale, block_q, block_k, interpret):
-    o, _ = _fwd(q, k, v, scale, block_q, block_k, q.shape[2], interpret)
+# _flash takes PRE-SCALED q; ``scale`` is only consumed by the dq
+# epilogue (chain rule through qs = q * scale).  n_valid=None ⇒ the
+# unpadded maskless divisor path.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(qs, k, v, fwd_bq, fwd_bk, bwd_bq, bwd_bk, n_valid, interpret):
+    o, _ = _fwd(qs, k, v, fwd_bq, fwd_bk, n_valid, interpret)
     return o
 
 
-def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
-    o, lse = _fwd(q, k, v, scale, block_q, block_k, q.shape[2], interpret)
-    return o, (q, k, v, o, lse)
+def _flash_fwd_rule(qs, k, v, fwd_bq, fwd_bk, bwd_bq, bwd_bk,
+                    n_valid, interpret):
+    o, lse = _fwd(qs, k, v, fwd_bq, fwd_bk, n_valid, interpret)
+    return o, (qs, k, v, o, lse)
 
 
-def _flash_bwd_rule(scale, block_q, block_k, interpret, res, do):
-    q, k, v, o, lse = res
-    dq, dk, dv = _bwd(q, k, v, o, lse, do, scale, block_q, block_k,
-                      q.shape[2], interpret)
-    return dq, dk, dv
+def _flash_bwd_rule(fwd_bq, fwd_bk, bwd_bq, bwd_bk, n_valid,
+                    interpret, res, do):
+    qs, k, v, o, lse = res
+    dqs, dk, dv = _bwd(qs, k, v, o, lse, do, bwd_bq, bwd_bk,
+                       n_valid, interpret)
+    return dqs, dk, dv
 
 
-_flash_bhnd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def flash_attention(
@@ -253,19 +287,28 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 128,
+    block_q: int = 784,
     block_k: int | None = None,
+    bwd_block_q: int = 784,
+    bwd_block_k: int = 784,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Attention over ``[B, N, h, d]`` q/k/v (the layout of
     :func:`bvc_tpu.ops.attention.multi_head_attention`); differentiable;
-    N may be any length (internally padded to a 128 multiple with key
-    masking)."""
+    N may be any length (divisor-blocked when N is a sublane multiple,
+    padded to a 128 multiple with key masking otherwise).
+
+    Block preferences are snapped DOWN to exact divisors of the (padded)
+    sequence; the defaults are the measured v5e optimum at the VideoMAE-B
+    decoder shape ``[32, 1568, 6, 64]`` (PERFORMANCE.md).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, N, h, d = q.shape
-    pad = (-N) % 128
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    pad = 0 if N % sub == 0 else (-N) % 128
     Np = N + pad
+    n_valid = None if pad == 0 else N
 
     def prep(x):
         x = x.transpose(0, 2, 1, 3)  # [B, h, N, d]
@@ -273,41 +316,21 @@ def flash_attention(
             x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
         return x
 
-    qt, kt, vt = prep(q), prep(k), prep(v)
-    bq = _pick_block(Np, block_q)
+    qt = prep((q * scale).astype(q.dtype))
+    kt, vt = prep(k), prep(v)
+    # VMEM guard for the fwd q-block: the f32 score tile is bq x bk
+    bq_cap = max(sub, (6 * 2**20) // (Np * 4) // sub * sub)
+    bq = _pick_block(Np, min(block_q, bq_cap), sub)
     if block_k is None:
         # measured on v5e: keeping the whole K/V in VMEM beats chunked
-        # streaming by ~2.5x (the fori_loop dynamic slices defeat Mosaic's
+        # streaming (the fori_loop dynamic slices defeat Mosaic's
         # pipelining); fall back to 1024-chunks when K/V would blow VMEM
         kv_bytes = 2 * Np * d * qt.dtype.itemsize
         block_k = Np if kv_bytes <= 4 * 2**20 else 1024
-    bk = _pick_block(Np, block_k)
+    bk = _pick_block(Np, block_k, sub)
+    bbq = _pick_block(Np, bwd_block_q, sub)
+    bbk = _pick_block(Np, bwd_block_k, sub)
+    out = _flash(qt, kt, vt, bq, bk, bbq, bbk, n_valid, interpret)
     if pad:
-        # n_valid masking needs the fwd/bwd pipeline; wrap with the
-        # valid-length closure via custom_vjp on padded shapes
-        out = _flash_padded(qt, kt, vt, scale, bq, bk, N, interpret)
-    else:
-        out = _flash_bhnd(qt, kt, vt, scale, bq, bk, interpret)
-    out = out[:, :, :N]
+        out = out[:, :, :N]
     return out.transpose(0, 2, 1, 3)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_padded(q, k, v, scale, block_q, block_k, n_valid, interpret):
-    o, _ = _fwd(q, k, v, scale, block_q, block_k, n_valid, interpret)
-    return o
-
-
-def _flash_padded_fwd(q, k, v, scale, block_q, block_k, n_valid, interpret):
-    o, lse = _fwd(q, k, v, scale, block_q, block_k, n_valid, interpret)
-    return o, (q, k, v, o, lse)
-
-
-def _flash_padded_bwd(scale, block_q, block_k, n_valid, interpret, res, do):
-    q, k, v, o, lse = res
-    dq, dk, dv = _bwd(q, k, v, o, lse, do, scale, block_q, block_k,
-                      n_valid, interpret)
-    return dq, dk, dv
-
-
-_flash_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)

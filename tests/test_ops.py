@@ -80,3 +80,37 @@ class TestAttention:
         ref = multi_head_attention(q, k, v, impl="xla")
         out = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_flash_grads_match_xla_divisor_path(self):
+        # N % 8 == 0 → unpadded maskless path; checks the pre-scaled-q
+        # chain rule (dq gets the scale, dk must NOT)
+        q, k, v = self._qkv(B=2, N=64, h=2, d=16, seed=1)
+        w = jnp.asarray(np.random.default_rng(2).standard_normal((64, 1)),
+                        jnp.float32)
+
+        def loss(f):
+            return lambda a, b, c: jnp.sum(f(a, b, c) * w[None, :, None, :] )
+
+        g_ours = jax.grad(loss(lambda a, b, c: flash_attention(
+            a, b, c, block_q=32, block_k=32, bwd_block_q=32, bwd_block_k=32,
+            interpret=True)), argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(lambda a, b, c: multi_head_attention(
+            a, b, c, impl="xla")), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_flash_grads_match_xla_padded_path(self):
+        # N = 90 (not a sublane multiple) → padded+masked path
+        q, k, v = self._qkv(B=1, N=90, h=2, d=16, seed=3)
+
+        def loss(f):
+            return lambda a, b, c: jnp.sum(f(a, b, c) ** 2)
+
+        g_ours = jax.grad(loss(lambda a, b, c: flash_attention(
+            a, b, c, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(lambda a, b, c: multi_head_attention(
+            a, b, c, impl="xla")), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
