@@ -40,14 +40,15 @@ def main():
     mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.9)
     n_dev = len(jax.devices())
     mesh = make_mesh()
-    # 32/chip measures ~8% faster than the reference's 16/GPU; fall back
-    # if the remote compile helper rejects the larger program
+    # 48/chip measures fastest (240.8 clips/s vs 225.6 at 32, see
+    # PERFORMANCE.md); fall back down the ladder if the remote compile
+    # helper rejects the larger program
     tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
     params = videomae.init_params(jax.random.PRNGKey(0), cfg)
 
     from bvc_tpu.utils.profiling import sync
 
-    for per_device_batch in (32, 16):
+    for per_device_batch in (48, 32, 16):
         batch = per_device_batch * n_dev
         try:
             state = place_state(

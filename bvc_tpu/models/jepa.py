@@ -160,6 +160,7 @@ def encoder_forward(
         enc_params["blocks"], tokens, cfg.num_heads, cfg.layer_norm_eps,
         cfg.remat, key_mask=key_mask,
         drop_path_rates=_dpr(cfg, rng), rng=rng,
+        unroll=cfg.depth <= 12,  # straight-line layers schedule faster (v5e)
     )
     return layer_norm(x, enc_params["norm"], cfg.layer_norm_eps)
 
@@ -203,6 +204,7 @@ def predictor_forward(
         pred_params["blocks"], full, cfg.num_heads, cfg.layer_norm_eps,
         cfg.remat, key_mask=key_mask,
         drop_path_rates=_dpr(cfg, rng, cfg.pred_depth), rng=rng,
+        unroll=cfg.pred_depth <= 12,
     )
     out = full[:, Ke:]
     out = layer_norm(out, pred_params["norm"], cfg.layer_norm_eps)

@@ -129,7 +129,10 @@ def encode_visible(
     )
     vis = vis + pos
     return run_blocks(
-        params["encoder"], vis, cfg.num_heads, cfg.layer_norm_eps, cfg.remat
+        params["encoder"], vis, cfg.num_heads, cfg.layer_norm_eps, cfg.remat,
+        # measured on v5e: unrolled 12-layer encoder fwd+bwd 44.8 → 36.5 ms
+        # at [32, 160, 768] (PERFORMANCE.md)
+        unroll=cfg.depth <= 12,
     )
 
 
@@ -161,7 +164,11 @@ def decode_masked(
     mask_tok = params["mask_token"].astype(dtype)
     x = jnp.concatenate([z + pos_vis, mask_tok + pos_mask], axis=1)
     x = run_blocks(
-        params["decoder"], x, cfg.decoder_num_heads, cfg.layer_norm_eps, cfg.remat
+        params["decoder"], x, cfg.decoder_num_heads, cfg.layer_norm_eps, cfg.remat,
+        # shallow stack: straight-line layers schedule ~10% faster than
+        # the scan on v5e (PERFORMANCE.md); compile-time cost is tiny at
+        # depth ≤ 4
+        unroll=cfg.decoder_depth <= 4,
     )
     x = x[:, -masked_idx.shape[1]:]
     x = layer_norm(x, params["decoder_norm"], cfg.layer_norm_eps)

@@ -156,6 +156,7 @@ def run_blocks(
     key_mask: jnp.ndarray | None = None,
     drop_path_rates: jnp.ndarray | None = None,
     rng: jnp.ndarray | None = None,
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Scan the stacked blocks over ``x``.
 
@@ -163,7 +164,26 @@ def run_blocks(
     schedule (the reference's ``linspace(0, rate, depth)`` decay rule,
     ``vision_transformer.py:345``), scanned alongside the params with a
     per-layer rng; requires ``rng``.
+
+    ``unroll``: emit the layers as straight-line code instead of a
+    ``lax.scan``.  Measured on v5e (PERFORMANCE.md): XLA schedules the
+    unrolled decoder ~10% faster (per-layer fusion/layout freedom);
+    compile time grows with depth, so it only pays for shallow stacks —
+    callers enable it for depth ≤ 4.
     """
+    if unroll and not remat:
+        depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        rates = None if drop_path_rates is None else jnp.asarray(
+            drop_path_rates, jnp.float32)
+        keys = None if rng is None else jax.random.split(rng, depth)
+        for i in range(depth):
+            layer = jax.tree_util.tree_map(lambda l: l[i], stacked)
+            x = block_apply(
+                layer, x, num_heads, ln_eps, attn_impl, key_mask,
+                None if rates is None else rates[i],
+                None if keys is None else keys[i],
+            )
+        return x
     if drop_path_rates is not None:
         assert rng is not None, "drop_path_rates requires an rng"
         depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]

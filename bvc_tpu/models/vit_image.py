@@ -70,7 +70,7 @@ def forward(params: dict, images: jnp.ndarray, cfg: ModelConfig,
             tokens, jnp.maximum(keep_idx, 0)[..., None], axis=1
         )
     x = run_blocks(params["blocks"], tokens, cfg.num_heads, cfg.layer_norm_eps,
-                   cfg.remat, key_mask=key_mask)
+                   cfg.remat, key_mask=key_mask, unroll=cfg.depth <= 12)
     return layer_norm(x, params["norm"], cfg.layer_norm_eps)
 
 

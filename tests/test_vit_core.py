@@ -117,3 +117,25 @@ class TestAttentionProbs:
         probs = np.asarray(block_attention_probs(p, x, num_heads=2))
         assert probs.shape == (2, 2, 6, 6)
         np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+class TestUnrolledBlocks:
+    def test_unroll_matches_scan(self):
+        from bvc_tpu.models.vit import init_blocks, run_blocks
+
+        blocks = init_blocks(jax.random.PRNGKey(0), 4, 32)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 24, 32)),
+                        jnp.float32)
+        a = run_blocks(blocks, x, 4)
+        b = run_blocks(blocks, x, 4, unroll=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_unroll_with_drop_path_schedule_runs(self):
+        from bvc_tpu.models.vit import init_blocks, run_blocks
+
+        blocks = init_blocks(jax.random.PRNGKey(0), 3, 32)
+        x = jnp.ones((2, 8, 32), jnp.float32)
+        out = run_blocks(blocks, x, 4, drop_path_rates=np.linspace(0, 0.5, 3),
+                         rng=jax.random.PRNGKey(1), unroll=True)
+        assert np.all(np.isfinite(np.asarray(out)))
