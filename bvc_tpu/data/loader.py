@@ -94,7 +94,18 @@ class DataLoader:
         self.sampler = EpochSampler(
             len(dataset), global_batch_size, shuffle, seed, drop_last
         )
-        self.num_workers = max(1, num_workers)
+        # cap at the cores this process may actually use: decode threads
+        # beyond that THRASH (measured on a 1-core host: 8 workers run
+        # 2.8x slower than 1 — GIL handoffs + cache churn, PERFORMANCE.md)
+        try:
+            import os
+
+            cores = len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):  # non-Linux
+            import os
+
+            cores = os.cpu_count() or 1
+        self.num_workers = max(1, min(num_workers, cores))
         self.prefetch = max(1, prefetch)
         self.max_batches = max_batches
         self.seed = seed

@@ -223,15 +223,26 @@ class UCF101Dataset:
             except Exception:
                 warnings.warn(f"unreadable clip-index cache {cache_path}; reprobing")
         probed = 0
+        present: set[str] = set()
         for rel, _ in entries:
             path = os.path.join(root, rel)
-            if rel in meta or not os.path.exists(path):
+            try:
+                st = os.stat(path)
+            except OSError:
+                meta.pop(rel, None)  # deleted since the cache was written
+                continue
+            present.add(rel)
+            cached = meta.get(rel)
+            # cache entries carry (mtime, size) so re-encoded videos get
+            # reprobed; legacy 2-element entries are treated as stale
+            if cached and len(cached) == 4 and cached[2] == st.st_mtime and \
+                    cached[3] == st.st_size:
                 continue
             cap = cv2.VideoCapture(path)
             n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
             fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
             cap.release()
-            meta[rel] = [n, float(fps)]
+            meta[rel] = [n, float(fps), st.st_mtime, st.st_size]
             probed += 1
         if probed:
             try:
@@ -245,9 +256,9 @@ class UCF101Dataset:
         self.clips: list[tuple[str, str, int]] = []  # (relpath, label, resampled start)
         dropped = 0
         for rel, label in entries:
-            if rel not in meta:
+            if rel not in present:
                 continue
-            n, fps = meta[rel]
+            n, fps = meta[rel][:2]
             if frame_rate and fps > 0:
                 n_res = resampled_length(n, fps, frame_rate)
             else:
@@ -269,7 +280,7 @@ class UCF101Dataset:
     def __getitem__(self, index: int):
         rel, label, rstart = self.clips[index]
         path = os.path.join(self.root, rel)
-        n, fps = self.meta[rel]
+        n, fps = self.meta[rel][:2]
         if self.frame_rate and fps > 0:
             orig = resample_video_idx(rstart + np.arange(self.sample_len),
                                       fps, self.frame_rate)

@@ -74,8 +74,12 @@ def _jit_embed(core: Callable, params_tree: Any, mesh) -> Callable:
     where each rank embeds its shard of the batch.
     """
     if mesh is None:
+        # commit params to the device ONCE: jit only reuses committed
+        # device arrays — host numpy leaves would be re-uploaded on every
+        # per-batch call
+        placed = jax.device_put(params_tree)
         jfn = jax.jit(core)
-        return lambda video: jfn(params_tree, jnp.asarray(video))
+        return lambda video: jfn(placed, jnp.asarray(video))
     rep = replicated_sharding(mesh)
     placed = jax.device_put(params_tree, rep)
     jfn = jax.jit(core, in_shardings=(rep, batch_sharding(mesh)),

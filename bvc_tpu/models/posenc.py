@@ -112,18 +112,27 @@ def _bicubic_axis(x: np.ndarray, out_size: int, scale: float) -> np.ndarray:
     return np.sum(gathered * w, axis=1)
 
 
-def bicubic_resize_2d(grid: np.ndarray, scale_factor: float) -> np.ndarray:
-    """``[H, W, D] → [floor(H*sf), floor(W*sf), D]`` replicating
+def bicubic_resize_2d(grid: np.ndarray, scale_factor: float,
+                      out_hw: tuple[int, int] | None = None,
+                      scale_w: float | None = None) -> np.ndarray:
+    """``[H, W, D] → [out_h, out_w, D]`` replicating
     ``torch.nn.functional.interpolate(mode='bicubic', align_corners=False,
-    scale_factor=sf)`` — output size floored, source coordinates mapped
-    with the *given* scale factor (torch keeps the provided scale when
-    ``recompute_scale_factor`` is unset), golden-tested against torch in
-    ``tests/test_posenc.py``."""
+    scale_factor=sf)``: source coordinates mapped with the *given* scale
+    factor (torch keeps the provided scale when ``recompute_scale_factor``
+    is unset), golden-tested against torch in ``tests/test_posenc.py``.
+
+    ``out_hw`` defaults to torch's ``floor(dim * sf)`` but callers that
+    know the exact target pass it explicitly — ``int(H * sf)`` silently
+    truncates one row for many valid targets (e.g. ``14 * (61/14)`` →
+    60.999… → 60), a float pitfall the upstream DINO code dodges by
+    adding 0.1 to the scale.  ``scale_w`` allows a distinct width scale
+    (non-uniform resizes)."""
     H, W, _ = grid.shape
-    out_h, out_w = int(H * scale_factor), int(W * scale_factor)
+    sw = scale_factor if scale_w is None else scale_w
+    out_h, out_w = out_hw or (int(H * scale_factor), int(W * sw))
     out = _bicubic_axis(grid.astype(np.float64), out_h, scale_factor)
     out = np.moveaxis(
-        _bicubic_axis(np.moveaxis(out, 1, 0), out_w, scale_factor), 0, 1
+        _bicubic_axis(np.moveaxis(out, 1, 0), out_w, sw), 0, 1
     )
     return out
 
@@ -148,12 +157,14 @@ def interpolate_pos_table(table: np.ndarray, npatch: int,
     else:
         g = int(np.sqrt(n))
         assert g * g == n, f"pos table length {n} is not a square grid"
-        out = bicubic_resize_2d(
-            table.reshape(g, g, -1), float(np.sqrt(npatch / n))
-        ).reshape(-1, table.shape[-1])
-        assert out.shape[0] == npatch, (
-            f"bicubic resize produced {out.shape[0]} positions, wanted {npatch}"
+        g_new = int(round(np.sqrt(npatch)))
+        assert g_new * g_new == npatch, (
+            f"target npatch {npatch} is not a square grid"
         )
+        out = bicubic_resize_2d(
+            table.reshape(g, g, -1), float(np.sqrt(npatch / n)),
+            out_hw=(g_new, g_new),
+        ).reshape(-1, table.shape[-1])
     if cls_row is not None:
         out = np.concatenate([cls_row, out], axis=0)
     return out.astype(np.float32)
@@ -173,11 +184,11 @@ def interpolate_pos_table_3d(table: np.ndarray, t: int, h: int, w: int,
     bicubic with the same torch kernel semantics.
     """
     grid = table.reshape(t, h, w, -1).astype(np.float64)
-    sf = new_h / h
-    out = np.stack([bicubic_resize_2d(grid[i], sf) for i in range(t)])
-    assert out.shape[1:3] == (new_h, new_w), (
-        f"spatial resize produced {out.shape[1:3]}, wanted {(new_h, new_w)}"
-    )
+    out = np.stack([
+        bicubic_resize_2d(grid[i], new_h / h, out_hw=(new_h, new_w),
+                          scale_w=new_w / w)
+        for i in range(t)
+    ])
     return out.reshape(t * new_h * new_w, -1).astype(np.float32)
 
 

@@ -173,6 +173,8 @@ def run_blocks(
     """
     if unroll and not remat:
         depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        if drop_path_rates is not None:
+            assert rng is not None, "drop_path_rates requires an rng"
         rates = None if drop_path_rates is None else jnp.asarray(
             drop_path_rates, jnp.float32)
         keys = None if rng is None else jax.random.split(rng, depth)

@@ -101,16 +101,31 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1),
                               target_params=target_params)
 
-    def _like():
-        return {
+    def _like(legacy: bool = False):
+        like = {
             "encoder": state.params["encoder"],
             "predictor": state.params["predictor"],
             "target_encoder": state.target_params,
             "opt": state.opt_state,
             "epoch": np.zeros((), np.int32),
-            "step": np.asarray(state.step),
-            "rng": np.asarray(state.rng),
         }
+        if not legacy:
+            like["step"] = np.asarray(state.step)
+            like["rng"] = np.asarray(state.rng)
+        return like
+
+    def _restore(path):
+        # checkpoints written before step/rng were added lack those keys;
+        # Orbax restore-into-template requires exact structure, so fall
+        # back to the legacy layout (chaining never consumes step/rng)
+        try:
+            return load_checkpoint(path, like=_like())
+        except (ValueError, KeyError):
+            logger.info("checkpoint %s has the legacy (pre-resume) layout", path)
+            restored = dict(load_checkpoint(path, like=_like(legacy=True)))
+            restored.setdefault("step", np.asarray(state.step))
+            restored.setdefault("rng", np.asarray(state.rng))
+            return restored
 
     if cfg.init_checkpoint_path != "na":
         # restore INTO a structural template so the optax pytree shapes
@@ -119,7 +134,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         # step/rng are NOT adopted: each stage restarts its EMA ramp like
         # the reference's per-stage momentum generator (:309-311).
         logger.info("init from checkpoint %s", cfg.init_checkpoint_path)
-        restored = load_checkpoint(cfg.init_checkpoint_path, like=_like())
+        restored = _restore(cfg.init_checkpoint_path)
         chain_start = int(restored["epoch"])
         state = state.replace(
             params={"encoder": restored["encoder"], "predictor": restored["predictor"]},
@@ -134,7 +149,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         # mask stream is (seed, epoch, batch)-deterministic so it resumes
         # for free)
         logger.info("resuming from %s", own_ckpt)
-        restored = load_checkpoint(own_ckpt, like=_like())
+        restored = _restore(own_ckpt)
         start_epoch = int(restored["epoch"])
         state = state.replace(
             params={"encoder": restored["encoder"], "predictor": restored["predictor"]},

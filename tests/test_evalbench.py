@@ -396,3 +396,50 @@ class TestToyboxFnameFixes:
                            "dim0": [0.0, 0.0]})
         with pytest.warns(UserWarning, match="remain malformed"):
             ToyBoxEval().fix_fnames(df)
+
+
+class TestUCFCacheInvalidation:
+    def test_reencode_and_delete_invalidate(self, tmp_path):
+        import json as _json
+        import os
+        import time as _time
+
+        import cv2
+
+        from bvc_tpu.evalbench.datasets import UCF101Dataset
+
+        root = tmp_path / "UCF-101"
+        ann = tmp_path / "ucfTrainTestlist"
+        ann.mkdir()
+        rng = np.random.default_rng(0)
+
+        def write(rel, nframes):
+            p = root / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"MJPG"),
+                                25, (32, 24))
+            for _ in range(nframes):
+                w.write(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8))
+            w.release()
+
+        rels = ["A/v_A_g01_c01.avi", "B/v_B_g01_c01.avi"]
+        for r in rels:
+            write(r, 24)
+        (ann / "trainlist01.txt").write_text("\n".join(f"{r} 1" for r in rels) + "\n")
+        ds = UCF101Dataset(str(root), str(ann), train=True, sample_len=8,
+                           step_between_clips=300, image_size=16)
+        assert len(ds) == 2
+
+        # re-encode one video LONGER; cached metadata must be refreshed
+        write(rels[0], 90)
+        os.utime(root / rels[0], (_time.time() + 5, _time.time() + 5))
+        ds2 = UCF101Dataset(str(root), str(ann), train=True, sample_len=8,
+                            step_between_clips=40, image_size=16)
+        a_clips = [c for c in ds2.clips if c[0] == rels[0]]
+        assert len(a_clips) > 1  # 90 frames / step 40 → 3 windows
+
+        # delete the other; it must drop out despite the cache entry
+        os.remove(root / rels[1])
+        ds3 = UCF101Dataset(str(root), str(ann), train=True, sample_len=8,
+                            step_between_clips=40, image_size=16)
+        assert all(c[0] != rels[1] for c in ds3.clips)

@@ -416,3 +416,32 @@ class TestJepaResume:
         s3 = run_pretraining(cfg2)
         assert load_meta(s3["checkpoint"])["epoch"] == 2
         assert load_meta(s3["checkpoint"])["loss"] == meta2["loss"]
+
+
+class TestLegacyCheckpointChaining:
+    def test_init_from_pre_resume_layout(self, frame_corpus, tmp_path):
+        """Checkpoints written before step/rng were added must still chain."""
+        import jax
+        import copy
+
+        from bvc_tpu.training.checkpoint import save_checkpoint
+        from bvc_tpu.training.trainer_jepa import run_pretraining
+        from bvc_tpu.training.optim import make_optimizer
+        from bvc_tpu.training.state import TrainState
+
+        cfg = TestJepaResume()._cfg(frame_corpus, tmp_path, "dev_2_g0_default_0_8")
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg.model)
+        tx = make_optimizer(cfg.optim, params)
+        st = TrainState.create(params, tx, jax.random.PRNGKey(1),
+                               target_params=copy.deepcopy(params["encoder"]))
+        legacy = tmp_path / "model_dev_1_g0_default_0_8.ckpt"
+        save_checkpoint(legacy, {
+            "encoder": jax.device_get(st.params["encoder"]),
+            "predictor": jax.device_get(st.params["predictor"]),
+            "target_encoder": jax.device_get(st.target_params),
+            "opt": jax.device_get(st.opt_state),
+            "epoch": np.int32(1),
+        }, meta={"epoch": 1})
+        cfg.init_checkpoint_path = str(legacy)
+        out = run_pretraining(cfg)
+        assert np.isfinite(out["train_loss"])

@@ -136,3 +136,20 @@ class TestInterpolatePosTable:
             np.testing.assert_allclose(
                 got.reshape(t, 144, d)[i], want, atol=1e-5
             )
+
+    def test_truncation_prone_target_sizes(self):
+        # int(14 * sqrt(3721/196)) floats to 60 — the resize must still
+        # deliver the requested 61x61 grid (DINO's +0.1 pitfall)
+        from bvc_tpu.models.posenc import interpolate_pos_table
+
+        tab = np.random.default_rng(0).standard_normal((196, 8)).astype(np.float32)
+        for g_new in (29, 45, 58, 61, 90):
+            out = interpolate_pos_table(tab, g_new * g_new)
+            assert out.shape == (g_new * g_new, 8)
+
+    def test_3d_non_uniform_spatial_resize(self):
+        from bvc_tpu.models.posenc import interpolate_pos_table_3d
+
+        tab = np.random.default_rng(1).standard_normal((2 * 4 * 4, 6)).astype(np.float32)
+        out = interpolate_pos_table_3d(tab, 2, 4, 4, 4, 8)
+        assert out.shape == (2 * 4 * 8, 6)
