@@ -51,11 +51,21 @@ def multi_head_attention(
     n = q.shape[1]
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        # flash wins once the N^2 score matrix stops fitting the cache
-        # hierarchy; measured crossover on v5e is well below 512 tokens
-        impl = "flash" if (on_tpu and key_mask is None and n >= 512) else "xla"
-    if impl == "flash" and key_mask is None:
+        if key_mask is None:
+            # flash wins once the N^2 score matrix stops fitting the
+            # cache hierarchy; measured crossover on v5e is below 512
+            impl = "flash" if (on_tpu and n >= 512) else "xla"
+        else:
+            # masked: XLA measured FASTER in the real JEPA step (212 vs
+            # 164 clips/s at bs 64 — the bias kernels' fwd matches XLA
+            # but their backward loses, tools/probe_attn.py + A/B in
+            # PERFORMANCE.md).  The key-bias flash kernels remain opt-in
+            # (impl='flash') for memory-bound cases: they never
+            # materialise the f32 [B,h,N,N] scores that OOM JEPA at
+            # 128 clips/chip.
+            impl = "xla"
+    if impl == "flash":
         from bvc_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale=scale, key_mask=key_mask)
     return _xla_attention(q, k, v, scale, key_mask)

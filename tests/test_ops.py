@@ -100,6 +100,42 @@ class TestAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_flash_key_mask_matches_xla(self):
+        # per-sample key masks (JEPA static-cap padding) route through the
+        # bias kernels; outputs at VALID key sets must match XLA exactly
+        q, k, v = self._qkv(B=3, N=130, h=2, d=16, seed=5)
+        rng = np.random.default_rng(6)
+        key_mask = jnp.asarray(rng.random((3, 130)) > 0.4)
+        # ensure every sample keeps at least a few keys
+        key_mask = key_mask.at[:, :4].set(True)
+        ref = multi_head_attention(q, k, v, impl="xla", key_mask=key_mask)
+        out = flash_attention(q, k, v, interpret=True, key_mask=key_mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_flash_key_mask_grads_match_xla(self):
+        q, k, v = self._qkv(B=2, N=64, h=2, d=16, seed=7)
+        rng = np.random.default_rng(8)
+        key_mask = jnp.asarray(rng.random((2, 64)) > 0.3)
+        key_mask = key_mask.at[:, :4].set(True)
+
+        def loss(f):
+            return lambda a, b, c: jnp.sum(f(a, b, c) ** 2)
+
+        g_ours = jax.grad(loss(lambda a, b, c: flash_attention(
+            a, b, c, interpret=True, key_mask=key_mask)),
+            argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(lambda a, b, c: multi_head_attention(
+            a, b, c, impl="xla", key_mask=key_mask)),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+        # masked-key grad rows must be exactly zero for dk/dv
+        masked = ~np.asarray(key_mask)
+        np.testing.assert_allclose(np.asarray(g_ours[1])[masked], 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_ours[2])[masked], 0.0, atol=1e-6)
+
     def test_flash_grads_match_xla_padded_path(self):
         # N = 90 (not a sublane multiple) → padded+masked path
         q, k, v = self._qkv(B=1, N=90, h=2, d=16, seed=3)

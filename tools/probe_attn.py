@@ -1,0 +1,111 @@
+"""Probe attention implementations at the JEPA shapes on the local chip.
+
+Times XLA vs Pallas-flash attention (fwd and fwd+bwd) at the shapes the
+JEPA profile flagged, plus the full target-encoder forward under each
+impl, with in-jit repetition and input-chaining (CSE defeat).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = 8
+
+
+def timed(fn, *args):
+    import jax
+    import jax.numpy as jnp
+
+    from bvc_tpu.utils.profiling import sync
+
+    @jax.jit
+    def rep(*a):
+        s = jnp.bfloat16(0.0)
+        x0 = a[0]
+        for _ in range(REPS):
+            out = fn(x0 + s.astype(x0.dtype), *a[1:])
+            s = jax.tree_util.tree_leaves(out)[0].ravel()[0] * 1e-8
+        return s
+
+    r = rep(*args)
+    sync(r.astype(jnp.float32))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = rep(*args)
+        sync(r.astype(jnp.float32))
+        times.append((time.perf_counter() - t0) / REPS)
+    return sorted(times)[1] * 1e3
+
+
+def main():
+    from bvc_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+    import jax.numpy as jnp
+
+    from bvc_tpu.ops.attention import _xla_attention
+    from bvc_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+
+    for (B, N, h, d) in [(64, 392, 12, 64), (256, 209, 12, 32), (64, 169, 12, 64)]:
+        q = jnp.asarray(rng.standard_normal((B, N, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, N, h, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, N, h, d)), jnp.bfloat16)
+        scale = d ** -0.5
+
+        t_x = timed(lambda qq, kk, vv: _xla_attention(qq, kk, vv, scale), q, k, v)
+        t_f = timed(lambda qq, kk, vv: flash_attention(qq, kk, vv, scale=scale),
+                    q, k, v)
+
+        def loss_x(qq, kk, vv):
+            return _xla_attention(qq, kk, vv, scale).astype(jnp.float32).sum()
+
+        def loss_f(qq, kk, vv):
+            return flash_attention(qq, kk, vv, scale=scale).astype(jnp.float32).sum()
+
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))
+        t_xb = timed(lambda qq, kk, vv: gx(qq, kk, vv), q, k, v)
+        t_fb = timed(lambda qq, kk, vv: gf(qq, kk, vv), q, k, v)
+        print(f"[{B},{N},{h},{d}]  fwd  xla {t_x:6.2f}  flash {t_f:6.2f}   "
+              f"fwd+bwd  xla {t_xb:6.2f}  flash {t_fb:6.2f}  ms")
+
+    # full target-encoder forward under each impl
+    from bvc_tpu.models import jepa
+    from bvc_tpu.models.vit import run_blocks, layer_norm
+    from bvc_tpu.ops.patchify import tubelet_patchify
+    from bvc_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(family="jepa", num_frames=2, tubelet_size=1)
+    params = jepa.init_params(jax.random.PRNGKey(0), cfg)["encoder"]
+    video = jnp.asarray(rng.standard_normal((64, 2, 224, 224, 3)), jnp.float32)
+
+    def enc(v, impl):
+        tokens = tubelet_patchify(
+            v, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+            cfg.tubelet_size, cfg.patch_size, jnp.bfloat16)
+        tokens = tokens + jnp.asarray(jepa.encoder_pos_table(cfg), jnp.bfloat16)[None]
+        x = run_blocks(params["blocks"], tokens, cfg.num_heads,
+                       cfg.layer_norm_eps, False, impl, unroll=True)
+        return layer_norm(x, params["norm"], cfg.layer_norm_eps)
+
+    for impl in ("xla", "flash"):
+        t = timed(lambda v: enc(v, impl), video)
+        print(f"target-encoder fwd 392tok impl={impl}: {t:7.2f} ms")
+    for impl in ("xla", "flash"):
+        g = jax.grad(lambda v: enc(v, impl).astype(jnp.float32).sum())
+        t = timed(lambda v: g(v), video)
+        print(f"target-encoder fwd+bwd 392tok impl={impl}: {t:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""End-to-end curriculum smoke at flagship scale ON THE REAL CHIP.
+
+The CPU-mesh test suite already exercises the whole stack at toy scale
+(``tests/test_curriculum.py``); this tool re-runs the full pipeline —
+synthetic JPEG corpus → curriculum driver (2 stages, checkpoint chaining)
+→ SSv2-style embedding extraction sweep → kNN scoring — with the REAL
+VideoMAE-B model on the attached TPU, proving the production path end to
+end on hardware (the reference's whole-job analogue:
+``slurmscripts/generative/slurm_dev_def.bash:68-177``).
+
+Prints one JSON summary line. Runtime ~10-15 min on the tunneled dev box
+(dominated by tunnel warmup + 3 distinct jit compiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(root: str, n_frames: int = 240) -> None:
+    """HOMEview-layout corpus: moving-gradient frames (JPEG-compressible,
+    non-constant so norm-pix targets are well-conditioned)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    for subj in ["008MS", "009SS", "026AR"]:  # two g0 + one g1 subject
+        d = os.path.join(root, subj)
+        os.makedirs(d, exist_ok=True)
+        base = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        for i in range(n_frames):
+            arr = np.roll(base, shift=3 * i, axis=1)
+            noise = rng.integers(0, 32, arr.shape, dtype=np.uint8)
+            Image.fromarray((arr // 2 + noise)).save(
+                os.path.join(d, f"frame_{i:05d}.jpg"), quality=85
+            )
+
+
+def build_ssv2_like(root: str, n_clips: int = 6, n_frames: int = 20) -> None:
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    for split in ["train", "val"]:
+        for vid in range(n_clips):
+            d = os.path.join(root, split, str(vid))
+            os.makedirs(d, exist_ok=True)
+            base = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+            for i in range(n_frames):
+                Image.fromarray(np.roll(base, 5 * i, axis=0)).save(
+                    os.path.join(d, f"{i}.jpg"), quality=85
+                )
+
+
+def main():
+    from bvc_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+    import pandas as pd
+
+    from bvc_tpu.curriculum.driver import run_curriculum
+    from bvc_tpu.curriculum.presets import FAMILY_PRESETS
+    from bvc_tpu.evalbench.scores import get_nn_score
+    from bvc_tpu.utils.config import TrainConfig
+
+    t_start = time.perf_counter()
+    work = tempfile.mkdtemp(prefix="bvc_smoke_")
+    jpg_root = os.path.join(work, "jpg_root")
+    ssv2_root = os.path.join(work, "ssv2")
+    savedir = os.path.join(work, "runs")
+    build_corpus(jpg_root)
+    build_ssv2_like(ssv2_root)
+
+    # Real VideoMAE-B / 224 px / 16 frames (the flagship bench model),
+    # shrunk only in ITERATION COUNT — the reference generative preset
+    # with n_epoch=1, 4 iters/stage.
+    tiny = dataclasses.replace(
+        FAMILY_PRESETS["generative"],
+        n_epoch=1, batch_size=8, max_epoch_iters=4, n_trainsamples=64,
+    )
+    base = TrainConfig(savedir=savedir, seed=0, log_freq=1)
+    base.data.jpg_root = jpg_root
+    # 240-frame subjects → ~80-frame fold segments so all 3 folds exist
+    base.data.segment_minutes = 80 / (60 * 30.0)
+    base.data.keep_val = False
+
+    results = run_curriculum(
+        "dev", tiny, base, n_stages=2,
+        extraction=[{"ds_task": "ssv2", "vid_root": ssv2_root,
+                     "frame_rate": 12, "batch_size": 4}],
+        untrained_baseline=True,
+    )
+
+    # score one extracted CSV with synthetic labels (clip-id parity) to
+    # drive the notebook-parity kNN scorer on real embeddings
+    emb_dir = os.path.join(savedir, "benchmarks", "ssv2")
+    stage2 = results["stages"][1]
+    df = pd.read_csv(os.path.join(emb_dir, f"embeddings_{stage2['run_id']}.csv"))
+    # SSv2 fnames are the clip-folder ids; synthetic label = id parity
+    df["label"] = [int(str(f).rstrip("/").split("/")[-1]) % 2 for f in df["fnames"]]
+    knn = get_nn_score(df, df, label="label")[1]
+
+    losses = [s["train_loss"] for s in results["stages"]]
+    summary = {
+        "platform": jax.devices()[0].platform,
+        "stages": [s["run_id"] for s in results["stages"]],
+        "stage_losses": [round(float(x), 4) for x in losses],
+        "extraction_csvs": len(results.get("extraction", [])),
+        "knn_top1": round(float(knn), 4),
+        "wall_s": round(time.perf_counter() - t_start, 1),
+        "ok": all(np.isfinite(losses)),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
