@@ -48,6 +48,7 @@ def main():
 
     from bvc_tpu.utils.profiling import sync
 
+    step = None
     for per_device_batch in (48, 32, 16):
         batch = per_device_batch * n_dev
         try:
@@ -70,7 +71,10 @@ def main():
         except Exception as e:  # remote-compile flake at large batches
             print(f"# batch {per_device_batch}/chip failed to compile: {e}",
                   flush=True)
+            step = None
             continue
+    if step is None:
+        raise RuntimeError("every batch size in (48, 32, 16) failed to compile")
 
     iters = 20
     t0 = time.perf_counter()

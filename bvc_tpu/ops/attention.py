@@ -40,11 +40,13 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Scaled dot-product attention over ``[B, N, h, d]`` tensors.
 
-    ``impl``: 'auto' | 'xla' | 'flash'.  'auto' picks flash on TPU when
-    the sequence is long enough to benefit and divisible into lane-aligned
-    blocks, else XLA.  ``key_mask`` (``[B, N]`` bool, True = valid) makes
-    padded tokens invisible to every query — used by the static-shape
-    JEPA mask padding; mask support forces the XLA path.
+    ``impl``: 'auto' | 'xla' | 'flash'.  'auto' picks flash on TPU for
+    long unmasked sequences and XLA otherwise.  ``key_mask`` (``[B, N]``
+    bool, True = valid) makes padded tokens invisible to every query —
+    the static-shape JEPA mask padding; masked 'auto' stays on XLA
+    (measured faster end-to-end), while ``impl='flash'`` opts into the
+    key-bias flash kernels (no f32 [B,h,N,N] HBM temps — the
+    memory-bound escape hatch, see PERFORMANCE.md).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5

@@ -211,8 +211,10 @@ def _dq_kernel_bias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, b_ref,
 
 def _dkv_kernel_bias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, b_ref,
                      dk_ref, dv_ref, *, block_q):
-    """Key-bias variant of :func:`_dkv_kernel`; ``b_ref`` is this key
-    block's ``[1, bk]`` bias slice (indexed by the grid, no in-kernel ds)."""
+    """Key-bias variant of :func:`_dkv_kernel`; ``b_ref`` holds the full
+    ``[1, 1, Np]`` bias row (a ``(1, 1, bk)`` block would violate the
+    Mosaic lane-tiling constraint) and this key block's ``[1, bk]`` slice
+    is taken in-kernel at a 128-aligned offset."""
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     bk, d = k.shape
@@ -486,6 +488,12 @@ def flash_attention(
     bbq = _pick_block(Np, bwd_block_q, sub)
     bbk = _pick_block(Np, bwd_block_k, sub)
     if key_mask is not None:
+        # the bias kernels dynamically slice the LANE dim of the [1, Np]
+        # bias row at key-block offsets — Mosaic requires those to be
+        # 128-aligned, so masked key blocks must be 128 multiples (Np is
+        # one, so a 128-multiple divisor always exists)
+        bk = _pick_block(Np, max(bk, 128), 128)
+        bbk = _pick_block(Np, max(bbk, 128), 128)
         bias = jnp.where(key_mask, 0.0, _NEG_INF).astype(jnp.float32)
         if pad:
             bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=_NEG_INF)

@@ -136,6 +136,32 @@ class TestAttention:
         np.testing.assert_allclose(np.asarray(g_ours[1])[masked], 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(g_ours[2])[masked], 0.0, atol=1e-6)
 
+    def test_flash_key_mask_multi_key_block(self):
+        # N=300 pads to Np=384; block_k=128 forces num_kb=3 so the
+        # in-kernel lane-dim bias slicing runs at non-zero offsets
+        # (offsets are 128-aligned by construction — Mosaic requirement)
+        q, k, v = self._qkv(B=2, N=300, h=2, d=16, seed=9)
+        rng = np.random.default_rng(10)
+        key_mask = jnp.asarray(rng.random((2, 300)) > 0.4)
+        key_mask = key_mask.at[:, :4].set(True)
+
+        def loss(f):
+            return lambda a, b, c: jnp.sum(f(a, b, c) ** 2)
+
+        flash = lambda a, b, c: flash_attention(
+            a, b, c, block_k=128, bwd_block_k=128, interpret=True,
+            key_mask=key_mask)
+        ref = lambda a, b, c: multi_head_attention(
+            a, b, c, impl="xla", key_mask=key_mask)
+        np.testing.assert_allclose(np.asarray(flash(q, k, v)),
+                                   np.asarray(ref(q, k, v)),
+                                   rtol=1e-5, atol=1e-5)
+        g_ours = jax.grad(loss(flash), argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(ref), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_flash_grads_match_xla_padded_path(self):
         # N = 90 (not a sublane multiple) → padded+masked path
         q, k, v = self._qkv(B=1, N=90, h=2, d=16, seed=3)

@@ -9,7 +9,9 @@ host feeds over PCIe — see PERFORMANCE.md provisioning math).
 Reference analogue: the no-grad DDP loop in
 ``benchmarks/compute_embeddings_videomae.py:253-264`` on 4 GPUs.
 
-Prints one JSON line per family.
+Prints one JSON line per family. ``frames/sec`` counts frames actually
+embedded: num_frames per clip for the video models, ONE for SimCLR
+(it embeds only the last frame, ``compute_embeddings_simclr.py:227``).
 """
 
 from __future__ import annotations
@@ -22,8 +24,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASE = 4.6  # derived clips/sec/accelerator floor (see bench.py)
+from _benchlib import BASELINE_CLIPS_PER_SEC_PER_ACCEL, ladder  # noqa: E402
 
 
 def bench(family, batches=(256, 128, 64)):
@@ -44,41 +47,47 @@ def bench(family, batches=(256, 128, 64)):
         cfg = ModelConfig()
         params = videomae.init_params(jax.random.PRNGKey(0), cfg)
         core = lambda prm, v: videomae.embed(prm, v, cfg)
+        frames_per_clip = cfg.num_frames
     elif family == "jepa":
         from bvc_tpu.models import jepa
 
         cfg = ModelConfig(family="jepa", num_frames=2, tubelet_size=1)
         params = jepa.init_encoder_params(jax.random.PRNGKey(0), cfg)
         core = lambda prm, v: jepa.embed(prm, v, cfg)
+        frames_per_clip = cfg.num_frames
     else:
+        import jax.numpy as jnp
+
         from bvc_tpu.models import resnet
+        from bvc_tpu.models.videomae import normalize_on_device
 
         cfg = ModelConfig(family="simclr", architecture="resnet18",
                           num_frames=2, tubelet_size=1)
         p, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18")
         params = {"params": p, "stats": stats}
+        # last frame only, normalized on device (the dataset transform
+        # normalizes on host in the real extractor — same numerics)
         core = lambda tree, v: resnet.apply(
-            tree["params"], tree["stats"], v[:, -1], "resnet18",
-            training=False, with_head=False)[0]
+            tree["params"], tree["stats"], normalize_on_device(v[:, -1]),
+            "resnet18", training=False, with_head=False)[0]
+        frames_per_clip = 1
 
     placed = jax.device_put(params, rep)
     jfn = jax.jit(core, in_shardings=(rep, batch_sharding(mesh)),
                   out_shardings=rep)
     rng = np.random.default_rng(0)
 
-    for per_device in batches:
+    def build(per_device):
         B = per_device * n_dev
-        try:
-            video = rng.integers(
-                0, 255, (B, cfg.num_frames, cfg.image_size, cfg.image_size, 3),
-                dtype=np.uint8)  # uint8 feed, normalization fuses in-jit
-            g = shard_batch(video, mesh)
-            out = jfn(placed, g)
-            sync(out.astype(np.float32).sum())
-            break
-        except Exception as e:
-            print(f"# {family} batch {per_device} failed: {e}", flush=True)
-            continue
+        video = rng.integers(
+            0, 255, (B, cfg.num_frames, cfg.image_size, cfg.image_size, 3),
+            dtype=np.uint8)  # uint8 feed; normalization fuses in-jit
+        g = shard_batch(video, mesh)
+        out = jfn(placed, g)
+        sync(out.astype(np.float32).sum())
+        return g, B
+
+    per_device, (g, B) = ladder(batches, build)
 
     iters = 20
     t0 = time.perf_counter()
@@ -87,14 +96,13 @@ def bench(family, batches=(256, 128, 64)):
     sync(out.astype(np.float32).sum())
     dt = time.perf_counter() - t0
     clips = B * iters / dt / n_dev
-    frames = clips * cfg.num_frames
     print(json.dumps({
         "metric": f"{family}_embed_extraction_throughput",
-        "value": round(frames, 1),
+        "value": round(clips * frames_per_clip, 1),
         "unit": "frames/sec/chip",
         "clips_per_sec_per_chip": round(clips, 1),
         "batch_per_chip": per_device,
-        "vs_baseline": round(clips / BASE, 1),
+        "vs_baseline": round(clips / BASELINE_CLIPS_PER_SEC_PER_ACCEL, 1),
     }), flush=True)
 
 

@@ -20,11 +20,14 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_CLIPS_PER_SEC_PER_ACCEL = 4.6  # see bench.py for the derivation
+from _benchlib import BASELINE_CLIPS_PER_SEC_PER_ACCEL, ladder  # noqa: E402
 
 
 def bench_jepa(per_device_batches=(128, 64, 32)):
+    import copy
+
     import jax
 
     from bvc_tpu.masks.multiblock import MultiBlockMaskCollator, update_mask_indices
@@ -48,44 +51,40 @@ def bench_jepa(per_device_batches=(128, 64, 32)):
     tx = make_optimizer(OptimConfig(name="sgd", lr=0.03, momentum=0.9))
     params = jepa.init_params(jax.random.PRNGKey(0), cfg)
 
-    import copy
-
-    for per_device_batch in per_device_batches:
+    def build(per_device_batch):
         B = per_device_batch * n_dev
-        try:
-            state = place_state(
-                TrainState.create(
-                    params, tx, jax.random.PRNGKey(1),
-                    target_params=copy.deepcopy(params["encoder"]),
-                ),
-                mesh,
-            )
-            step = make_jepa_train_step(mesh, cfg, tx, total_steps=10000)
-            video = np.random.default_rng(0).integers(
-                0, 255, (B, cfg.num_frames, cfg.image_size, cfg.image_size, 3),
-                dtype=np.uint8,
-            )
-            enc_idx, pred_idx = collator(B, step=0)
-            enc_idx = update_mask_indices(
-                enc_idx, cfg.image_size, cfg.patch_size, cfg.num_frames,
-                cfg.tubelet_size, isencoder=True,
-            )
-            pred_idx = update_mask_indices(
-                pred_idx, cfg.image_size, cfg.patch_size, cfg.num_frames,
-                cfg.tubelet_size, isencoder=False,
-            )
-            batch = {
-                "video": shard_batch(video, mesh),
-                "enc_idx": shard_batch(enc_idx[0], mesh),
-                "pred_idx": shard_batch(pred_idx.transpose(1, 0, 2), mesh),
-            }
-            for _ in range(3):
-                state, metrics = step(state, batch)
-            sync(metrics["loss"])
-            break
-        except Exception as e:
-            print(f"# jepa batch {per_device_batch}/chip failed: {e}", flush=True)
-            continue
+        state = place_state(
+            TrainState.create(
+                params, tx, jax.random.PRNGKey(1),
+                target_params=copy.deepcopy(params["encoder"]),
+            ),
+            mesh,
+        )
+        step = make_jepa_train_step(mesh, cfg, tx, total_steps=10000)
+        video = np.random.default_rng(0).integers(
+            0, 255, (B, cfg.num_frames, cfg.image_size, cfg.image_size, 3),
+            dtype=np.uint8,
+        )
+        enc_idx, pred_idx = collator(B, step=0)
+        enc_idx = update_mask_indices(
+            enc_idx, cfg.image_size, cfg.patch_size, cfg.num_frames,
+            cfg.tubelet_size, isencoder=True,
+        )
+        pred_idx = update_mask_indices(
+            pred_idx, cfg.image_size, cfg.patch_size, cfg.num_frames,
+            cfg.tubelet_size, isencoder=False,
+        )
+        batch = {
+            "video": shard_batch(video, mesh),
+            "enc_idx": shard_batch(enc_idx[0], mesh),
+            "pred_idx": shard_batch(pred_idx.transpose(1, 0, 2), mesh),
+        }
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        sync(metrics["loss"])
+        return state, step, batch, B
+
+    per_device_batch, (state, step, batch, B) = ladder(per_device_batches, build)
 
     iters = 20
     t0 = time.perf_counter()
@@ -121,27 +120,25 @@ def bench_simclr(per_device_batches=(256, 128, 64)):
     tx = make_optimizer(OptimConfig(name="sgd", lr=0.01, momentum=0.9))
     params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", head_dim=512)
 
-    for per_device_batch in per_device_batches:
+    def build(per_device_batch):
         B = per_device_batch * n_dev
-        try:
-            state = place_state(
-                TrainState.create(params, tx, jax.random.PRNGKey(1), extra=stats),
-                mesh,
-            )
-            step = make_simclr_train_step(
-                mesh, "resnet18", tx, temperature=0.1, dtype=jnp.bfloat16
-            )
-            pairs = np.random.default_rng(0).integers(
-                0, 255, (B, 2, 224, 224, 3), dtype=np.uint8
-            )
-            batch = shard_batch(pairs, mesh)
-            for _ in range(3):
-                state, metrics = step(state, batch)
-            sync(metrics["loss"])
-            break
-        except Exception as e:
-            print(f"# simclr batch {per_device_batch}/chip failed: {e}", flush=True)
-            continue
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1), extra=stats),
+            mesh,
+        )
+        step = make_simclr_train_step(
+            mesh, "resnet18", tx, temperature=0.1, dtype=jnp.bfloat16
+        )
+        pairs = np.random.default_rng(0).integers(
+            0, 255, (B, 2, 224, 224, 3), dtype=np.uint8
+        )
+        batch = shard_batch(pairs, mesh)
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        sync(metrics["loss"])
+        return state, step, batch, B
+
+    per_device_batch, (state, step, batch, B) = ladder(per_device_batches, build)
 
     iters = 20
     t0 = time.perf_counter()

@@ -9,39 +9,20 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPS = 8
+from _benchlib import timed as _timed  # noqa: E402
 
 
 def timed(fn, *args):
-    import jax
-    import jax.numpy as jnp
-
-    from bvc_tpu.utils.profiling import sync
-
-    @jax.jit
-    def rep(*a):
-        s = jnp.bfloat16(0.0)
-        x0 = a[0]
-        for _ in range(REPS):
-            out = fn(x0 + s.astype(x0.dtype), *a[1:])
-            s = jax.tree_util.tree_leaves(out)[0].ravel()[0] * 1e-8
-        return s
-
-    r = rep(*args)
-    sync(r.astype(jnp.float32))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = rep(*args)
-        sync(r.astype(jnp.float32))
-        times.append((time.perf_counter() - t0) / REPS)
-    return sorted(times)[1] * 1e3
+    """Adapter: chain the CSE-defeating perturbation through the first
+    arg, treating the rest as static params (shared helper in _benchlib)."""
+    rest = args[1:]
+    return _timed(lambda r, x0: fn(x0, *r), rest, args[0])
 
 
 def main():
@@ -98,12 +79,29 @@ def main():
                        cfg.layer_norm_eps, False, impl, unroll=True)
         return layer_norm(x, params["norm"], cfg.layer_norm_eps)
 
+    # single-call timing here: ~100 ms calls dwarf the ~1.3 ms dispatch,
+    # and REPS-unrolling a 12-layer encoder overflows the remote-compile
+    # request size on this box
+    import time as _time
+
+    from bvc_tpu.utils.profiling import sync
+
+    def timed_single(fn, x):
+        jfn = jax.jit(fn)
+        sync(jfn(x).astype(jnp.float32).ravel()[0])
+        ts = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            sync(jfn(x).astype(jnp.float32).ravel()[0])
+            ts.append(_time.perf_counter() - t0)
+        return sorted(ts)[2] * 1e3
+
     for impl in ("xla", "flash"):
-        t = timed(lambda v: enc(v, impl), video)
+        t = timed_single(lambda v: enc(v, impl), video)
         print(f"target-encoder fwd 392tok impl={impl}: {t:7.2f} ms")
     for impl in ("xla", "flash"):
         g = jax.grad(lambda v: enc(v, impl).astype(jnp.float32).sum())
-        t = timed(lambda v: g(v), video)
+        t = timed_single(g, video)
         print(f"target-encoder fwd+bwd 392tok impl={impl}: {t:7.2f} ms")
 
 

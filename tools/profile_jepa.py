@@ -13,41 +13,13 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPS = 8
-
-
-def timed(fn, params, x):
-    """ms per call of ``fn(params, x)``; x is a float array that gets a
-    ~1e-20 data-dependent perturbation between reps (CSE defeat)."""
-    import jax
-    import jax.numpy as jnp
-
-    from bvc_tpu.utils.profiling import sync
-
-    @jax.jit
-    def rep(p, xx):
-        s = jnp.float32(0.0)
-        for _ in range(REPS):
-            out = fn(p, xx + s)
-            s = jax.tree_util.tree_leaves(out)[0].ravel()[0].astype(
-                jnp.float32) * 1e-20
-        return s
-
-    r = rep(params, x)
-    sync(r)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = rep(params, x)
-        sync(r)
-        times.append((time.perf_counter() - t0) / REPS)
-    return sorted(times)[1] * 1e3  # median, ms
+from _benchlib import timed  # noqa: E402
 
 
 def main():
@@ -104,7 +76,8 @@ def main():
     valid = jnp.asarray((np.asarray(pred_idx) >= 0).astype(np.float32))[..., None]
 
     t_predf = timed(
-        lambda p, zz: jepa.predictor_forward(p, zz, enc_idx, pred_idx, cfg),
+        lambda p, zz: jepa.predictor_forward(p, zz.astype(z.dtype), enc_idx,
+                                             pred_idx, cfg),
         params["predictor"], z.astype(jnp.float32))
     print(f"predictor fwd (M*B={4*B}, 209 tok): {t_predf:7.2f} ms")
 
