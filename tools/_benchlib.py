@@ -33,9 +33,14 @@ def timed(fn, params, x, reps: int = REPS):
         s = jnp.float32(0.0)
         for _ in range(reps):
             out = fn(p, xx + s.astype(xx.dtype))
-            s = jax.tree_util.tree_leaves(out)[0].ravel()[0].astype(
-                jnp.float32) * 1e-20
-        return s
+            # consume EVERY output leaf: chaining only the first leaf lets
+            # XLA dead-code-eliminate the rest — with value_and_grad that
+            # silently drops the whole backward pass (a "fwd+bwd" timing
+            # that reads ≤ fwd is this bug)
+            s = sum(
+                l.ravel()[0].astype(jnp.float32)
+                for l in jax.tree_util.tree_leaves(out)
+            ) * 1e-20
 
     r = rep(params, x)
     sync(r)

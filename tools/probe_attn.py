@@ -37,7 +37,9 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    for (B, N, h, d) in [(64, 392, 12, 64), (256, 209, 12, 32), (64, 169, 12, 64)]:
+    # JEPA shapes + the VideoMAE decoder shape (the flash default path)
+    for (B, N, h, d) in [(64, 392, 12, 64), (256, 209, 12, 32),
+                         (64, 169, 12, 64), (32, 1568, 6, 64)]:
         q = jnp.asarray(rng.standard_normal((B, N, h, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((B, N, h, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((B, N, h, d)), jnp.bfloat16)
