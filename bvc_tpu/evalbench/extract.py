@@ -232,12 +232,25 @@ def extract_embeddings(
         "embeddings": np.concatenate(embs) if embs else np.zeros((0, 1), np.float32),
     }
     gathered = all_gather_objects(local)
+    return merge_gathered(gathered)
+
+
+def merge_gathered(gathered) -> tuple[list[str], np.ndarray]:
+    """Merge per-host ``{'fnames', 'embeddings'}`` dicts.
+
+    A host with zero rows contributes a ``(0, 1)`` placeholder whose
+    feature dim does not match the real hosts' ``(B, D)`` arrays —
+    concatenating the mix would raise, so empty blocks are dropped when
+    any host produced rows."""
     all_names: list[str] = []
     all_embs: list[np.ndarray] = []
     for d in gathered:
         all_names += list(d["fnames"])
         all_embs.append(np.asarray(d["embeddings"]))
-    return all_names, np.concatenate(all_embs)
+    non_empty = [e for e in all_embs if e.shape[0]]
+    if non_empty:
+        return all_names, np.concatenate(non_empty)
+    return all_names, np.zeros((0, 1), np.float32)
 
 
 def run_id_from_checkpoint(fp: str) -> str:

@@ -266,6 +266,19 @@ class TestMeshShardedExtraction:
         # every compiled batch is padded to a multiple of the data axis (8)
         assert all(s % 8 == 0 for s in seen)
 
+    def test_merge_gathered_tolerates_zero_row_hosts(self):
+        from bvc_tpu.evalbench.extract import merge_gathered
+
+        real = {"fnames": ["a", "b"],
+                "embeddings": np.ones((2, 768), np.float32)}
+        empty = {"fnames": [], "embeddings": np.zeros((0, 1), np.float32)}
+        # a zero-row host's (0, 1) placeholder must not poison the concat
+        names, embs = merge_gathered([empty, real, empty])
+        assert names == ["a", "b"] and embs.shape == (2, 768)
+        # all hosts empty: shape stays a valid 2-D zero-row array
+        names, embs = merge_gathered([empty, empty])
+        assert names == [] and embs.shape[0] == 0 and embs.ndim == 2
+
 
 class TestUCF101ClipIndex:
     """VERDICT r1 #8: cached clip index + torchvision VideoClips
