@@ -33,14 +33,20 @@ def timed(fn, params, x, reps: int = REPS):
         s = jnp.float32(0.0)
         for _ in range(reps):
             out = fn(p, xx + s.astype(xx.dtype))
-            # consume EVERY output leaf: chaining only the first leaf lets
-            # XLA dead-code-eliminate the rest — with value_and_grad that
-            # silently drops the whole backward pass (a "fwd+bwd" timing
-            # that reads ≤ fwd is this bug)
+            # consume EVERY ELEMENT of EVERY output leaf via a full
+            # reduction.  Anything less lets XLA shrink the work: an
+            # unconsumed leaf is dead-code-eliminated (value_and_grad
+            # loses its whole backward — symptom: fwd+bwd ≤ fwd), and a
+            # single-element chain invites the slice-of-dot pushdown
+            # (out[0,0] needs only row 0 of the matmul — measured
+            # collapsing an 8x matmul chain to ~0 ms).  The reduction
+            # adds one elementwise pass per leaf per rep: ~5% at the
+            # attention shapes, fair across compared impls.
             s = sum(
-                l.ravel()[0].astype(jnp.float32)
+                jnp.sum(l, dtype=jnp.float32)
                 for l in jax.tree_util.tree_leaves(out)
             ) * 1e-20
+        return s
 
     r = rep(params, x)
     sync(r)
