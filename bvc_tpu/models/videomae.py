@@ -189,22 +189,27 @@ def patch_targets(
     normalisation is per-patch, so gathering first is exact and skips the
     ~90% of patches the loss never reads).
     """
+    from bvc_tpu.ops.patchify import patchify_pixels
+
     B, T, H, W, C = video.shape
     ts, p = cfg.tubelet_size, cfg.patch_size
-    x = video.astype(jnp.float32)
-    x = x.reshape(B, T // ts, ts, H // p, p, W // p, p, C)
-    # → [B, T/ts, H/p, W/p, ts, p, p, C] then flatten pixels
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    n = (T // ts) * (H // p) * (W // p)
-    x = x.reshape(B, n, ts * p * p, C)
+    q = ts * p * p
+    # Route through the SAME channel-major patchify as the encoder path so
+    # XLA CSEs the full-video relayout between the two (a second, HF-order
+    # 8-D transpose of the whole video measured ~13 ms/step at bs 48 —
+    # tools/profile_videomae.py); the HF (pixel, channel) feature order is
+    # restored at the end on the gathered (masked-only) patches.
+    x = patchify_pixels(video, ts, p).astype(jnp.float32)  # [B, N, C*q]
     if idx is not None:
-        x = jnp.take_along_axis(x, idx[..., None, None], axis=1)
-        n = idx.shape[1]
+        x = jnp.take_along_axis(x, idx[..., None], axis=1)
+    n = x.shape[1]
+    x = x.reshape(B, n, C, q)
     if cfg.norm_pix_loss:
-        mean = jnp.mean(x, axis=2, keepdims=True)
-        var = jnp.var(x, axis=2, ddof=1, keepdims=True)
+        mean = jnp.mean(x, axis=3, keepdims=True)
+        var = jnp.var(x, axis=3, ddof=1, keepdims=True)
         x = (x - mean) / (jnp.sqrt(var) + 1e-6)
-    return x.reshape(B, n, ts * p * p * C)
+    x = x.transpose(0, 1, 3, 2)  # → [B, n, q, C]: HF (pixel, channel)
+    return x.reshape(B, n, q * C)
 
 
 def normalize_on_device(video: jnp.ndarray) -> jnp.ndarray:

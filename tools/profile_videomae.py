@@ -99,21 +99,29 @@ def main():
     grads = jax.jit(jax.grad(
         lambda p, v: pretrain_loss(p, v, mask, cfg, num_visible)[0]))(
         params, video)
+    # grads/opt_state ride the `params` slot of timed(): closing over a
+    # 94M-param tree inlines it as MLIR constants and the remote compile
+    # helper rejects the program body (HTTP 413)
 
-    def opt_apply(p, gleaf):
-        g = jax.tree_util.tree_map(lambda x: x, grads)
-        g["enc_to_dec"]["kernel"] = g["enc_to_dec"]["kernel"] + gleaf.astype(
-            g["enc_to_dec"]["kernel"].dtype) * 1e-20
-        updates, _ = tx.update(g, opt_state, p)
+    def opt_apply(tree, d):
+        p, o, g = tree
+        g = dict(g)
+        g["enc_to_dec"] = dict(g["enc_to_dec"])
+        g["enc_to_dec"]["kernel"] = g["enc_to_dec"]["kernel"] + d.ravel()[0]
+        updates, _ = tx.update(g, o, p)
         return optax.apply_updates(p, updates)["enc_to_dec"]["kernel"]
 
-    t_opt = timed(opt_apply, params, grads["enc_to_dec"]["kernel"])
+    dummy = jnp.zeros((8,), jnp.float32)
+    t_opt = timed(opt_apply, (params, opt_state, grads), dummy)
     print(f"optimizer (SGD-nesterov update):  {t_opt:7.2f} ms")
 
-    t_probe = timed(
-        lambda p, gleaf: optax.global_norm(grads)
-        + gleaf.ravel()[0].astype(jnp.float32) * 1e-20,
-        params, grads["enc_to_dec"]["kernel"])
+    def probe(g, d):
+        g = dict(g)
+        g["enc_to_dec"] = dict(g["enc_to_dec"])
+        g["enc_to_dec"]["kernel"] = g["enc_to_dec"]["kernel"] + d.ravel()[0]
+        return optax.global_norm(g)
+
+    t_probe = timed(probe, grads, dummy)
     print(f"grad_norm probe:                  {t_probe:7.2f} ms")
 
     pieces = t_vg + t_tgt + t_opt + t_probe
