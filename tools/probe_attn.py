@@ -72,14 +72,14 @@ def main():
     params = jepa.init_params(jax.random.PRNGKey(0), cfg)["encoder"]
     video = jnp.asarray(rng.standard_normal((64, 2, 224, 224, 3)), jnp.float32)
 
-    def enc(v, impl):
+    def enc2(p, v, impl):
         tokens = tubelet_patchify(
-            v, params["patch_embed"]["kernel"], params["patch_embed"]["bias"],
+            v, p["patch_embed"]["kernel"], p["patch_embed"]["bias"],
             cfg.tubelet_size, cfg.patch_size, jnp.bfloat16)
         tokens = tokens + jnp.asarray(jepa.encoder_pos_table(cfg), jnp.bfloat16)[None]
-        x = run_blocks(params["blocks"], tokens, cfg.num_heads,
+        x = run_blocks(p["blocks"], tokens, cfg.num_heads,
                        cfg.layer_norm_eps, False, impl, unroll=True)
-        return layer_norm(x, params["norm"], cfg.layer_norm_eps)
+        return layer_norm(x, p["norm"], cfg.layer_norm_eps)
 
     # single-call timing here: ~100 ms calls dwarf the ~1.3 ms dispatch,
     # and REPS-unrolling a 12-layer encoder overflows the remote-compile
@@ -88,22 +88,26 @@ def main():
 
     from bvc_tpu.utils.profiling import sync
 
-    def timed_single(fn, x):
+    def timed_single(fn, p, x):
+        # params as a traced ARGUMENT: closing over the 87M-param tree
+        # inlines it as MLIR constants and the remote compile helper
+        # rejects the request body (HTTP 413)
         jfn = jax.jit(fn)
-        sync(jfn(x).astype(jnp.float32).ravel()[0])
+        sync(jnp.sum(jfn(p, x), dtype=jnp.float32))
         ts = []
         for _ in range(5):
             t0 = _time.perf_counter()
-            sync(jfn(x).astype(jnp.float32).ravel()[0])
+            sync(jnp.sum(jfn(p, x), dtype=jnp.float32))
             ts.append(_time.perf_counter() - t0)
         return sorted(ts)[2] * 1e3
 
     for impl in ("xla", "flash"):
-        t = timed_single(lambda v: enc(v, impl), video)
+        t = timed_single(lambda p, v: enc2(p, v, impl), params, video)
         print(f"target-encoder fwd 392tok impl={impl}: {t:7.2f} ms")
     for impl in ("xla", "flash"):
-        g = jax.grad(lambda v: enc(v, impl).astype(jnp.float32).sum())
-        t = timed_single(g, video)
+        g = jax.grad(
+            lambda v, p: enc2(p, v, impl).astype(jnp.float32).sum())
+        t = timed_single(lambda p, v: g(v, p), params, video)
         print(f"target-encoder fwd+bwd 392tok impl={impl}: {t:7.2f} ms")
 
 
