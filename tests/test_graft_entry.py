@@ -12,15 +12,15 @@ code a normal test suite never touches — so it gets its own tests here:
   even when the calling process has already initialized a backend.
 """
 
-import io
 import sys
+from pathlib import Path
 
 import jax
 import pytest
 
 
 def _load_entry_module():
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import __graft_entry__
 
     return __graft_entry__

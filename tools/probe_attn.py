@@ -91,13 +91,19 @@ def main():
     def timed_single(fn, p, x):
         # params as a traced ARGUMENT: closing over the 87M-param tree
         # inlines it as MLIR constants and the remote compile helper
-        # rejects the request body (HTTP 413)
-        jfn = jax.jit(fn)
-        sync(jnp.sum(jfn(p, x), dtype=jnp.float32))
+        # rejects the request body (HTTP 413).  Consume every output leaf
+        # (grad pytrees included) so nothing is DCE'd.
+        def consume(p_, x_):
+            out = fn(p_, x_)
+            return sum(jnp.sum(l, dtype=jnp.float32)
+                       for l in jax.tree_util.tree_leaves(out))
+
+        jfn = jax.jit(consume)
+        sync(jfn(p, x))
         ts = []
         for _ in range(5):
             t0 = _time.perf_counter()
-            sync(jnp.sum(jfn(p, x), dtype=jnp.float32))
+            sync(jfn(p, x))
             ts.append(_time.perf_counter() - t0)
         return sorted(ts)[2] * 1e3
 
@@ -105,9 +111,12 @@ def main():
         t = timed_single(lambda p, v: enc2(p, v, impl), params, video)
         print(f"target-encoder fwd 392tok impl={impl}: {t:7.2f} ms")
     for impl in ("xla", "flash"):
+        # grads w.r.t. BOTH params and video: video-only grads would DCE
+        # every dW GEMM (~1/3 of a real training backward)
         g = jax.grad(
-            lambda v, p: enc2(p, v, impl).astype(jnp.float32).sum())
-        t = timed_single(lambda p, v: g(v, p), params, video)
+            lambda p, v: enc2(p, v, impl).astype(jnp.float32).sum(),
+            argnums=(0, 1))
+        t = timed_single(g, params, video)
         print(f"target-encoder fwd+bwd 392tok impl={impl}: {t:7.2f} ms")
 
 

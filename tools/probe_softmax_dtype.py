@@ -23,16 +23,23 @@ import functools
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_NEG_INF = -1e30
+from _benchlib import timed as _timed
+
+
+def timed(fn, args):
+    """Adapter onto the shared harness: perturb/chain through the first
+    array, treat the rest as params (same pattern as probe_attn.py)."""
+    rest = tuple(args[1:])
+    return _timed(lambda r, x0: fn(x0, *r), rest, args[0])
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, score_dtype):
@@ -61,29 +68,6 @@ def fwd(q, k, v, bq, score_dtype):
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, hh, i: (b, hh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, h, N, d), q.dtype),
     )(q, k, v)
-
-
-def timed(fn, args, reps=8):
-    from bvc_tpu.utils.profiling import sync
-
-    @jax.jit
-    def rep(*a):
-        s = jnp.float32(0.0)
-        out = None
-        for _ in range(reps):
-            out = fn(a[0] + s.astype(a[0].dtype), *a[1:])
-            s = out.ravel()[0].astype(jnp.float32) * 1e-20
-        return out
-
-    r = rep(*args)
-    sync(r.ravel()[0])
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = rep(*args)
-        sync(r.ravel()[0])
-        times.append((time.perf_counter() - t0) / reps)
-    return sorted(times)[1] * 1e3
 
 
 def xla_attn(q, k, v, score_dtype):
