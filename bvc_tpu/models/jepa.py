@@ -114,6 +114,7 @@ def encoder_forward(
     cfg: ModelConfig,
     keep_idx: jnp.ndarray | None = None,
     rng: jnp.ndarray | None = None,
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """Encode ``[B, T, H, W, C]`` video.
 
@@ -158,7 +159,7 @@ def encoder_forward(
         tokens = _safe_gather(tokens, keep_idx)
     x = run_blocks(
         enc_params["blocks"], tokens, cfg.num_heads, cfg.layer_norm_eps,
-        cfg.remat, key_mask=key_mask,
+        cfg.remat, attn_impl=attn_impl, key_mask=key_mask,
         drop_path_rates=_dpr(cfg, rng), rng=rng,
         unroll=cfg.depth <= 12,  # straight-line layers schedule faster (v5e)
     )
@@ -222,8 +223,16 @@ def target_features(
     """Frozen-target features at prediction positions, ``[M, B, Kp, D]``:
     full encode → feature-dim LayerNorm (parameterless, reference
     ``F.layer_norm(h, (h.size(-1),))`` at ``pretrain_jepa.py:387``) →
-    gather."""
-    h = encoder_forward(target_enc_params, video, cfg)
+    gather.
+
+    The no-grad encode defaults to bf16-stored attention logits
+    (``cfg.target_score_bf16``) — the reference computes this pass under
+    torch autocast-bf16 (``pretrain_jepa.py:405-409``), which quantizes
+    its qk logits at the same point; measured 12.4 → 9.3 ms per
+    attention layer at [64, 392, 12, 64] on v5e
+    (tools/probe_softmax_dtype.py)."""
+    impl = "xla_bf16" if cfg.target_score_bf16 else "auto"
+    h = encoder_forward(target_enc_params, video, cfg, attn_impl=impl)
     hf = h.astype(jnp.float32)
     mean = jnp.mean(hf, axis=-1, keepdims=True)
     var = jnp.var(hf, axis=-1, keepdims=True)

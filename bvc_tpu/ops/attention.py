@@ -19,9 +19,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, scale, key_mask=None):
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * scale
+def _xla_attention(q, k, v, scale, key_mask=None, score_dtype=None):
+    # score_dtype=bf16 materialises the [B,h,N,N] logits in bf16 (half
+    # the HBM traffic of the attention's dominant tensor; softmax math
+    # stays f32 in-registers after the fused upcast).  This is the same
+    # quantization point torch autocast-bf16 produces — the reference's
+    # qk matmul emits bf16 and torch softmax upcasts
+    # (pretrain_jepa.py:405-409) — measured 12.4 -> 9.3 ms/layer at the
+    # JEPA target shape [64,392,12,64] (tools/probe_softmax_dtype.py).
+    sd = score_dtype or jnp.float32
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=sd)
+    logits = (logits.astype(jnp.float32) if sd != jnp.float32 else logits) * scale
     if key_mask is not None:
         # [B, Nk] bool, True = attendable; padded keys get -inf
         bias = jnp.where(key_mask[:, None, None, :], 0.0, -1e30)
@@ -40,17 +48,25 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Scaled dot-product attention over ``[B, N, h, d]`` tensors.
 
-    ``impl``: 'auto' | 'xla' | 'flash'.  'auto' picks flash on TPU for
-    long unmasked sequences and XLA otherwise.  ``key_mask`` (``[B, N]``
-    bool, True = valid) makes padded tokens invisible to every query —
-    the static-shape JEPA mask padding; masked 'auto' stays on XLA
-    (measured faster end-to-end), while ``impl='flash'`` opts into the
-    key-bias flash kernels (no f32 [B,h,N,N] HBM temps — the
-    memory-bound escape hatch, see PERFORMANCE.md).
+    ``impl``: 'auto' | 'xla' | 'xla_bf16' | 'flash'.  'auto' picks flash
+    on TPU for long unmasked sequences and XLA otherwise.  ``key_mask``
+    (``[B, N]`` bool, True = valid) makes padded tokens invisible to
+    every query — the static-shape JEPA mask padding; masked 'auto'
+    stays on XLA (measured faster end-to-end), while ``impl='flash'``
+    opts into the key-bias flash kernels (no f32 [B,h,N,N] HBM temps —
+    the memory-bound escape hatch, see PERFORMANCE.md).
+
+    ``'xla_bf16'`` stores the materialised logits in bf16 (softmax math
+    still f32; see :func:`_xla_attention`) — only the XLA path can do
+    this (Mosaic rejects non-f32 matmul accumulators).  Used by the
+    no-grad JEPA target encoder, whose reference runs under torch
+    autocast-bf16 and therefore quantizes its logits identically.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = q.shape[1]
+    if impl == "xla_bf16":
+        return _xla_attention(q, k, v, scale, key_mask, jnp.bfloat16)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         if key_mask is None:

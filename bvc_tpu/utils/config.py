@@ -173,6 +173,11 @@ class ModelConfig:
     # compute
     dtype: str = "bfloat16"  # activation/compute dtype
     remat: bool = False  # jax.checkpoint each block
+    # Store the JEPA target encoder's attention logits in bf16 (f32
+    # softmax math).  The reference runs this no-grad pass under torch
+    # autocast-bf16 (pretrain_jepa.py:405-409), which quantizes its qk
+    # logits at the same point; False keeps full-f32 logits.
+    target_score_bf16: bool = True
 
     @property
     def tokens_per_frame(self) -> int:

@@ -148,6 +148,24 @@ class TestJepaModel:
         np.testing.assert_allclose(t.mean(-1), 0.0, atol=1e-4)
         np.testing.assert_allclose(t.std(-1), 1.0, atol=2e-2)
 
+    def test_target_score_bf16_close_to_f32(self):
+        # bf16-logit target encode (default, autocast-parity) must track
+        # the full-f32 path closely — post-LayerNorm targets are
+        # unit-scale, so atol is absolute
+        from dataclasses import replace
+
+        cfg = jepa_cfg()
+        p = jepa.init_encoder_params(jax.random.PRNGKey(0), cfg)
+        video = jnp.array(
+            np.random.default_rng(1).standard_normal((2, 2, 32, 32, 3)),
+            jnp.float32)
+        pred_idx = jnp.array([[[0, 1, 2, 3]] * 2], jnp.int32)
+        t_bf16 = np.asarray(jepa.target_features(
+            p, video, pred_idx, replace(cfg, target_score_bf16=True)))
+        t_f32 = np.asarray(jepa.target_features(
+            p, video, pred_idx, replace(cfg, target_score_bf16=False)))
+        np.testing.assert_allclose(t_bf16, t_f32, atol=0.05)
+
 
 class TestJepaTrainStep:
     def _setup(self):

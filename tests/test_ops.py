@@ -69,6 +69,29 @@ class TestAttention:
         expected = np.einsum("bhqk,bkhd->bqhd", p, v)
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
 
+    def test_xla_bf16_scores_close_to_f32(self):
+        # bf16-stored logits (the JEPA target encoder's autocast-parity
+        # mode): same math, bf16 quantization of the score tensor only
+        q, k, v = self._qkv(N=48)
+        ref = np.asarray(multi_head_attention(q, k, v, impl="xla"))
+        out = np.asarray(multi_head_attention(q, k, v, impl="xla_bf16"))
+        np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.03)
+        assert not np.array_equal(out, ref)  # it really quantized
+
+    def test_xla_bf16_respects_key_mask(self):
+        q, k, v = self._qkv(N=16)
+        mask = np.ones((2, 16), bool)
+        mask[:, 10:] = False
+        out = np.asarray(multi_head_attention(q, k, v, impl="xla_bf16",
+                                              key_mask=jnp.asarray(mask)))
+        # masked keys must not influence the output: perturbing them is a
+        # no-op
+        k2 = jnp.asarray(np.asarray(k).copy())
+        k2 = k2.at[:, 10:].set(99.0)
+        out2 = np.asarray(multi_head_attention(q, k2, v, impl="xla_bf16",
+                                               key_mask=jnp.asarray(mask)))
+        np.testing.assert_allclose(out, out2, rtol=1e-6, atol=1e-6)
+
     def test_flash_matches_xla_interpret(self):
         q, k, v = self._qkv(B=1, N=128, h=2, d=16)
         ref = multi_head_attention(q, k, v, impl="xla")
