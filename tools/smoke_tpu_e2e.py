@@ -4,12 +4,17 @@ The CPU-mesh test suite already exercises the whole stack at toy scale
 (``tests/test_curriculum.py``); this tool re-runs the full pipeline —
 synthetic JPEG corpus → curriculum driver (2 stages, checkpoint chaining)
 → SSv2-style embedding extraction sweep → kNN scoring — with the REAL
-VideoMAE-B model on the attached TPU, proving the production path end to
-end on hardware (the reference's whole-job analogue:
-``slurmscripts/generative/slurm_dev_def.bash:68-177``).
+flagship-scale models on the attached TPU, proving the production path
+end to end on hardware (the reference's whole-job analogue:
+``slurmscripts/*/slurm_dev_def.bash:68-177``).
 
-Prints one JSON summary line. Runtime ~10-15 min on the tunneled dev box
-(dominated by tunnel warmup + 3 distinct jit compiles).
+Usage: ``python tools/smoke_tpu_e2e.py [generative|predictive|contrastive]``
+(default generative = VideoMAE-B; predictive = JEPA ViT-B; contrastive =
+SimCLR resnet18 — each at its reference preset shapes, shrunk only in
+iteration count and sampling interval to fit the synthetic corpus).
+
+Prints one JSON summary line per run. Runtime ~10-15 min on the tunneled
+dev box (dominated by tunnel warmup + 3 distinct jit compiles).
 """
 
 from __future__ import annotations
@@ -71,6 +76,7 @@ def main():
     from bvc_tpu.evalbench.scores import get_nn_score
     from bvc_tpu.utils.config import TrainConfig
 
+    preset_name = sys.argv[1] if len(sys.argv) > 1 else "generative"
     t_start = time.perf_counter()
     work = tempfile.mkdtemp(prefix="bvc_smoke_")
     jpg_root = os.path.join(work, "jpg_root")
@@ -79,13 +85,19 @@ def main():
     build_corpus(jpg_root)
     build_ssv2_like(ssv2_root)
 
-    # Real VideoMAE-B / 224 px / 16 frames (the flagship bench model),
-    # shrunk only in ITERATION COUNT — the reference generative preset
-    # with n_epoch=1, 4 iters/stage.
-    tiny = dataclasses.replace(
-        FAMILY_PRESETS["generative"],
-        n_epoch=1, batch_size=8, max_epoch_iters=4, n_trainsamples=64,
-    )
+    # Real flagship models (VideoMAE-B / JEPA ViT-B / SimCLR resnet18),
+    # shrunk only in ITERATION COUNT (and, for the pair-sampled families,
+    # the slowness interval — the synthetic corpus has 240 frames/subject
+    # vs the reference's ~80 min at 30 fps).
+    shrink = dict(n_epoch=1, batch_size=8, max_epoch_iters=4,
+                  n_trainsamples=64)
+    if preset_name in ("predictive", "contrastive"):
+        # pair availability per fold-subject is ~(80 - interval) frames;
+        # stage 2 trains on a single-subject group in this corpus
+        shrink["interval"] = 20
+        shrink["n_trainsamples"] = 40
+        shrink["stage_overrides"] = {}  # contrastive overrides re-raise interval
+    tiny = dataclasses.replace(FAMILY_PRESETS[preset_name], **shrink)
     base = TrainConfig(savedir=savedir, seed=0, log_freq=1)
     base.data.jpg_root = jpg_root
     # 240-frame subjects → ~80-frame fold segments so all 3 folds exist
@@ -111,6 +123,7 @@ def main():
     losses = [s["train_loss"] for s in results["stages"]]
     summary = {
         "platform": jax.devices()[0].platform,
+        "preset": preset_name,
         "stages": [s["run_id"] for s in results["stages"]],
         "stage_losses": [round(float(x), 4) for x in losses],
         "extraction_csvs": len(results.get("extraction", [])),
