@@ -35,7 +35,15 @@ def all_gather_objects(data: dict[str, Any]) -> list[dict[str, Any]]:
 
     out: list[dict[str, Any]] = [dict() for _ in range(jax.process_count())]
     for key, val in data.items():
-        if isinstance(val, (list, tuple)) and val and isinstance(val[0], str):
+        # The branch decides the SEQUENCE of collectives, so it must be
+        # identical on every host: an empty fnames list on one host must
+        # still take the string branch its peers take (checking val[0]
+        # desynchronized the schedule → gloo preamble-mismatch abort;
+        # caught by tests/test_multihost.py).  Decide by type alone —
+        # list/tuple ⇒ string blob (vacuously for []).
+        if isinstance(val, (list, tuple)) and all(
+            isinstance(x, str) for x in val
+        ):
             blob = "\x00".join(val).encode("utf-8")
             arr = np.frombuffer(blob, dtype=np.uint8)
             # pad to a common length across hosts

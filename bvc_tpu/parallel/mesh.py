@@ -58,10 +58,16 @@ def distributed_init(
     if coordinator_address is None:
         return  # single-host: nothing to do
     try:
+        # `or` would treat an explicit process_id=0 as unset and fall back
+        # to the env var — rank 0 must be expressible explicitly
+        if num_processes is None:
+            num_processes = int(os.environ.get("SLURM_NTASKS", 1))
+        if process_id is None:
+            process_id = int(os.environ.get("SLURM_PROCID", 0))
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
-            num_processes=num_processes or int(os.environ.get("SLURM_NTASKS", 1)),
-            process_id=process_id or int(os.environ.get("SLURM_PROCID", 0)),
+            num_processes=num_processes,
+            process_id=process_id,
         )
     except RuntimeError as e:
         # already initialised by a launcher/wrapper — graceful no-op

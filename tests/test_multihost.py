@@ -1,0 +1,116 @@
+"""REAL multi-process multi-host tests (2 CPU processes, gloo collectives).
+
+Everything else in the suite runs multi-DEVICE in one process; these
+tests spawn two actual jax processes connected through
+``jax.distributed.initialize`` — the configuration the reference reaches
+with SLURM multi-node NCCL (``predictive/distributed.py:18-46``) — and
+exercise the cross-process primitives the extraction/training paths rely
+on: process-count discovery, ``all_gather_objects`` (incl. a zero-row
+host), the host barrier, ``EpochSampler`` host slicing, and a jitted
+global-mean reduction over a cross-process mesh.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+_REPO = Path(__file__).resolve().parent.parent
+
+_WORKER = r"""
+import json, os, sys
+proc_id, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, sys.argv[4])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bvc_tpu.parallel.mesh import distributed_init, make_mesh
+# explicit process_id=0 must be honored (regression: `or` fallback)
+distributed_init(f"localhost:{port}", n_proc, proc_id)
+
+import numpy as np
+from bvc_tpu.parallel.collectives import all_gather_objects, sync_hosts
+from bvc_tpu.data.loader import EpochSampler
+
+out = {"process_count": jax.process_count(),
+       "process_index": jax.process_index(),
+       "local_devices": len(jax.local_devices()),
+       "global_devices": len(jax.devices())}
+
+# cross-host object gather; host 1 contributes ZERO rows (uneven-host
+# case of the extraction path)
+if proc_id == 0:
+    local = {"fnames": ["a", "b"], "embeddings": np.ones((2, 4), np.float32)}
+else:
+    local = {"fnames": [], "embeddings": np.zeros((0, 1), np.float32)}
+gathered = all_gather_objects(local)
+from bvc_tpu.evalbench.extract import merge_gathered
+names, embs = merge_gathered(gathered)
+out["gather_names"] = names
+out["gather_shape"] = list(embs.shape)
+
+# host-sliced epoch sampling: each host sees its own contiguous block of
+# every global batch; the union must cover the dataset exactly
+s = EpochSampler(dataset_len=16, global_batch_size=8, shuffle=True, seed=3)
+mine = np.concatenate(s.batches(epoch=0))
+out["my_indices"] = sorted(int(i) for i in mine)
+
+# jitted global mean over a cross-process mesh (the DP loss reduction)
+from jax.sharding import NamedSharding, PartitionSpec as P
+mesh = make_mesh()  # all 8 global devices on 'data'
+sharding = NamedSharding(mesh, P("data"))
+local_part = np.full((4, 2), float(proc_id), np.float32)  # host i -> i
+garr = jax.make_array_from_process_local_data(sharding, local_part, (8, 2))
+mean = jax.jit(lambda x: x.mean(), out_shardings=NamedSharding(mesh, P()))(garr)
+# replicated output: every process reads its local copy
+out["global_mean"] = float(np.asarray(mean.addressable_data(0)))
+
+sync_hosts("test-barrier")
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_collectives(tmp_path):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), "2", str(port), str(_REPO)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(tmp_path),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, stdout
+        line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][-1]
+        outs.append(json.loads(line[len("RESULT "):]))
+
+    by_rank = {o["process_index"]: o for o in outs}
+    assert set(by_rank) == {0, 1}
+    for o in outs:
+        assert o["process_count"] == 2
+        assert o["local_devices"] == 4 and o["global_devices"] == 8
+        # the zero-row host did not poison the gather, and both hosts see
+        # the same merged result
+        assert o["gather_names"] == ["a", "b"]
+        assert o["gather_shape"] == [2, 4]
+        # mean over (4 rows of 0.0 + 4 rows of 1.0) — the cross-process
+        # reduction really mixed both hosts' shards
+        assert abs(o["global_mean"] - 0.5) < 1e-6
+
+    # host slices are disjoint and cover the dataset
+    all_idx = by_rank[0]["my_indices"] + by_rank[1]["my_indices"]
+    assert sorted(all_idx) == list(range(16))
+    assert set(by_rank[0]["my_indices"]).isdisjoint(by_rank[1]["my_indices"])
