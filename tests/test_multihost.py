@@ -68,6 +68,33 @@ mean = jax.jit(lambda x: x.mean(), out_shardings=NamedSharding(mesh, P()))(garr)
 # replicated output: every process reads its local copy
 out["global_mean"] = float(np.asarray(mean.addressable_data(0)))
 
+# the REAL train step over the cross-process mesh: replicated params,
+# data-sharded uint8 batch, XLA-emitted cross-process grad reduction
+from bvc_tpu.models import videomae
+from bvc_tpu.parallel import shard_batch
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_videomae_train_step, place_state
+from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
+cfg = ModelConfig(image_size=16, patch_size=8, num_frames=2, tubelet_size=2,
+                  hidden_size=16, depth=1, num_heads=2,
+                  decoder_hidden_size=8, decoder_depth=1,
+                  decoder_num_heads=2, dtype="float32")
+tx = make_optimizer(OptimConfig(lr=0.01))
+params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+state = place_state(TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh)
+step = make_videomae_train_step(mesh, cfg, MaskConfig(mask_ratio=0.75), tx)
+# 16-clip global batch: every host contributes its 8-clip local slice
+local_clips = np.random.default_rng(proc_id).integers(
+    0, 255, (8, 2, 16, 16, 3), np.uint8)
+with mesh:
+    batch = shard_batch(local_clips, mesh)
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        losses.append(float(np.asarray(metrics["loss"].addressable_data(0))))
+out["step_losses"] = losses
+
 sync_hosts("test-barrier")
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -114,3 +141,11 @@ def test_two_process_collectives(tmp_path):
     all_idx = by_rank[0]["my_indices"] + by_rank[1]["my_indices"]
     assert sorted(all_idx) == list(range(16))
     assert set(by_rank[0]["my_indices"]).isdisjoint(by_rank[1]["my_indices"])
+
+    # the SPMD train step produced the SAME finite global loss on both
+    # processes (replicated metrics out of a cross-process reduction),
+    # and training progressed
+    l0, l1 = by_rank[0]["step_losses"], by_rank[1]["step_losses"]
+    assert l0 == l1
+    assert all(x == x and abs(x) < 1e6 for x in l0)  # finite
+    assert l0[1] != l0[0]  # params actually updated
