@@ -264,6 +264,15 @@ def make_simclr_train_step(
     world_size>1); 'per_replica' restricts negative pairs to same-shard
     samples, reproducing the reference's per-rank loss exactly
     (SURVEY.md §2.5 "per-rank only").
+
+    BatchNorm note (deviation by design): batch statistics are computed
+    over the GLOBAL batch (the jitted mean/var reduce across the data
+    axis), i.e. SyncBN semantics.  The reference's DDP ResNet normalizes
+    with per-rank batch stats while broadcasting the running buffers
+    from rank 0 every forward (torch DDP ``broadcast_buffers=True``) — a
+    rank-asymmetric artifact rather than a design choice; global stats
+    are its lower-variance SPMD analogue and match it exactly at
+    world_size 1.
     """
     data_size = mesh.shape.get("data", 1)
     from bvc_tpu.models import resnet
