@@ -60,13 +60,21 @@ def multi_head_attention(
     still f32; see :func:`_xla_attention`) — only the XLA path can do
     this (Mosaic rejects non-f32 matmul accumulators).  Used by the
     no-grad JEPA target encoder, whose reference runs under torch
-    autocast-bf16 and therefore quantizes its logits identically.
+    autocast-bf16 and therefore quantizes its logits identically.  At
+    long unmasked sequences (the flash regime, n ≥ 512) it defers to
+    flash: even bf16 [B,h,N,N] logits are the memory/bandwidth evil the
+    flash kernels exist to avoid, and the bf16 win was measured in the
+    short-sequence XLA regime (392 tokens).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = q.shape[1]
     if impl == "xla_bf16":
-        return _xla_attention(q, k, v, scale, key_mask, jnp.bfloat16)
+        on_tpu = jax.default_backend() == "tpu"
+        if key_mask is None and n >= 512 and on_tpu:
+            impl = "flash"
+        else:
+            return _xla_attention(q, k, v, scale, key_mask, jnp.bfloat16)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         if key_mask is None:

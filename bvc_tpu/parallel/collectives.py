@@ -39,11 +39,15 @@ def all_gather_objects(data: dict[str, Any]) -> list[dict[str, Any]]:
         # identical on every host: an empty fnames list on one host must
         # still take the string branch its peers take (checking val[0]
         # desynchronized the schedule → gloo preamble-mismatch abort;
-        # caught by tests/test_multihost.py).  Decide by type alone —
-        # list/tuple ⇒ string blob (vacuously for []).
-        if isinstance(val, (list, tuple)) and all(
-            isinstance(x, str) for x in val
-        ):
+        # caught by tests/test_multihost.py).  Decide by CONTAINER type
+        # alone — list/tuple ⇒ string blob; non-str contents raise
+        # loudly instead of silently choosing a host-dependent branch.
+        if isinstance(val, (list, tuple)):
+            if not all(isinstance(x, str) for x in val):
+                raise TypeError(
+                    f"all_gather_objects[{key!r}]: list values must be "
+                    "strings (pass numeric data as an ndarray)"
+                )
             blob = "\x00".join(val).encode("utf-8")
             arr = np.frombuffer(blob, dtype=np.uint8)
             # pad to a common length across hosts

@@ -118,11 +118,19 @@ def test_two_process_collectives(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=600)
-        assert p.returncode == 0, stdout
-        line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][-1]
-        outs.append(json.loads(line[len("RESULT "):]))
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=600)
+            assert p.returncode == 0, stdout
+            line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][-1]
+            outs.append(json.loads(line[len("RESULT "):]))
+    finally:
+        # a failed/hung worker must not orphan its peer (the survivor
+        # blocks inside a collective for the full gloo timeout)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
 
     by_rank = {o["process_index"]: o for o in outs}
     assert set(by_rank) == {0, 1}

@@ -78,6 +78,30 @@ class TestAttention:
         np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.03)
         assert not np.array_equal(out, ref)  # it really quantized
 
+    def test_xla_bf16_defers_to_flash_at_long_sequences(self, monkeypatch):
+        # at n >= 512 unmasked on TPU, materializing even bf16 [B,h,N,N]
+        # logits defeats the flash kernels' purpose — xla_bf16 must route
+        # to flash there (16-frame JEPA configs reach 1568 tokens)
+        import bvc_tpu.ops.attention as attn
+        import bvc_tpu.ops.flash_attention as fa
+
+        monkeypatch.setattr(attn.jax, "default_backend", lambda: "tpu")
+        called = {}
+
+        def fake_flash(q, k, v, scale=None, key_mask=None):
+            called["flash"] = True
+            return q
+
+        monkeypatch.setattr(fa, "flash_attention", fake_flash)
+        q, k, v = self._qkv(N=512)
+        attn.multi_head_attention(q, k, v, impl="xla_bf16")
+        assert called.get("flash")
+        # short sequences stay on the bf16 XLA path
+        called.clear()
+        q, k, v = self._qkv(N=64)
+        attn.multi_head_attention(q, k, v, impl="xla_bf16")
+        assert not called
+
     def test_xla_bf16_respects_key_mask(self):
         q, k, v = self._qkv(N=16)
         mask = np.ones((2, 16), bool)

@@ -93,10 +93,15 @@ def main():
                   n_trainsamples=64)
     if preset_name in ("predictive", "contrastive"):
         # pair availability per fold-subject is ~(80 - interval) frames;
-        # stage 2 trains on a single-subject group in this corpus
+        # stage 2 trains on a single-subject group in this corpus.  Cap
+        # the interval INSIDE each stage override too, so the reference's
+        # per-stage lr schedule still executes on hardware.
         shrink["interval"] = 20
         shrink["n_trainsamples"] = 40
-        shrink["stage_overrides"] = {}  # contrastive overrides re-raise interval
+        shrink["stage_overrides"] = {
+            k: {**v, "interval": min(int(v.get("interval", 20)), 20)}
+            for k, v in FAMILY_PRESETS[preset_name].stage_overrides.items()
+        }
     tiny = dataclasses.replace(FAMILY_PRESETS[preset_name], **shrink)
     base = TrainConfig(savedir=savedir, seed=0, log_freq=1)
     base.data.jpg_root = jpg_root
