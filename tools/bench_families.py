@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _benchlib import BASELINE_CLIPS_PER_SEC_PER_ACCEL, ladder  # noqa: E402
 
 
-def bench_jepa(per_device_batches=(128, 64, 32)):
+def bench_jepa(per_device_batches=(64, 32)):
+    # 128/chip OOMs at compile on v5e-16G (the predictor's f32 [MB,12,
+    # 209,209] scores across remat copies, 18.3G — PERFORMANCE.md), so
+    # the ladder starts at the known-max 64 instead of paying the
+    # multi-minute failing compile every run.
     import copy
 
     import jax
