@@ -211,3 +211,65 @@ class TestJepaReferenceInterop:
                 tok = tok + blk.mlp.fc2(torch.nn.functional.gelu(blk.mlp.fc1(h2)))
             expected = enc.norm(tok).numpy()
         np.testing.assert_allclose(ours, expected, rtol=2e-3, atol=2e-4)
+
+    def test_bf16_target_tracks_torch_autocast_reference(self):
+        """The bf16-logit target encode (default) must track the torch
+        AUTOCAST-bf16 reference — the context the reference actually
+        computes its targets in (``pretrain_jepa.py:405-409``) — at least
+        as well as the full-f32 path does.  This turns the 'autocast
+        parity' justification for ``target_score_bf16`` into a measured
+        claim."""
+        from dataclasses import replace
+
+        import jax.numpy as jnp
+        import torch.nn.functional as F
+
+        from bvc_tpu.models import jepa
+        from bvc_tpu.models.posenc import positional_encoding_3d
+        from bvc_tpu.models.torch_interop import jepa_encoder_from_reference
+        from bvc_tpu.utils.config import ModelConfig
+
+        dim, depth, heads = 24, 2, 2
+        enc = self._ref_like_encoder(dim, depth, heads).eval()
+        params = jax.tree_util.tree_map(
+            jnp.asarray, jepa_encoder_from_reference(enc.state_dict(), depth=depth))
+        cfg = ModelConfig(image_size=32, patch_size=8, num_frames=2,
+                          tubelet_size=2, hidden_size=dim, depth=depth,
+                          num_heads=heads, dtype="float32")
+        video = np.random.default_rng(3).standard_normal(
+            (2, 2, 32, 32, 3)).astype(np.float32)
+        n_tok = 16  # 1 sheet x 4 x 4
+        pred_idx = jnp.asarray(np.tile(np.arange(n_tok, dtype=np.int32),
+                                       (1, 2, 1)))  # identity gather
+
+        # torch target under autocast-bf16 + the reference's F.layer_norm
+        with torch.no_grad(), torch.autocast("cpu", dtype=torch.bfloat16):
+            x = torch.from_numpy(video).permute(0, 4, 1, 2, 3)
+            tok = enc.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            tok = tok + torch.from_numpy(
+                positional_encoding_3d(1, 4, 4, dim))[None].squeeze(0)
+            for blk in enc.blocks:
+                h = blk.norm1(tok)
+                qkv = blk.attn.qkv(h).reshape(2, -1, 3, heads, dim // heads)
+                q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                att = torch.softmax(
+                    (q.transpose(1, 2) @ k.transpose(1, 2).transpose(-2, -1))
+                    * (dim // heads) ** -0.5, dim=-1)
+                o = (att @ v.transpose(1, 2)).transpose(1, 2).reshape(2, -1, dim)
+                tok = tok + blk.attn.proj(o)
+                h2 = blk.norm2(tok)
+                tok = tok + blk.mlp.fc2(torch.nn.functional.gelu(blk.mlp.fc1(h2)))
+            h = enc.norm(tok)
+            ref = F.layer_norm(h.float(), (dim,)).numpy()[None]  # [1,B,N,D]
+
+        t_bf16 = np.asarray(jepa.target_features(
+            params, jnp.asarray(video), pred_idx,
+            replace(cfg, target_score_bf16=True)))
+        t_f32 = np.asarray(jepa.target_features(
+            params, jnp.asarray(video), pred_idx,
+            replace(cfg, target_score_bf16=False)))
+        err_bf16 = float(np.abs(t_bf16 - ref).mean())
+        err_f32 = float(np.abs(t_f32 - ref).mean())
+        # bf16 logits must not move us away from the autocast reference
+        # (both errors are dominated by autocast's own quantization)
+        assert err_bf16 <= 1.5 * err_f32 + 1e-4, (err_bf16, err_f32)
