@@ -6,11 +6,12 @@ Replaces the reference's torchvision ResNet with the fc swapped for a
 BatchNorm with running stats carried as a separate ``batch_stats``
 collection (torch momentum 0.1, eps 1e-5).
 
-Distributed-semantics note: under SPMD jit the batch statistics are
-computed over the *global* (data-sharded) batch — effectively SyncBN —
-whereas torch DDP BatchNorm keeps per-replica stats.  Per-replica stats
-are a parallelisation artifact, not a modeling choice; global stats are
-the cleaner equivalent and match at world_size=1.
+Distributed-semantics note: by default the batch statistics are computed
+over the *global* (data-sharded) batch — effectively SyncBN — whereas
+torch DDP BatchNorm keeps per-replica stats.  Per-replica stats are a
+parallelisation artifact, not a modeling choice; global stats are the
+cleaner equivalent and match at world_size=1.  ``apply(bn_groups=N)``
+opts into the reference's per-rank semantics exactly (see :func:`_bn`).
 
 Reference quirk preserved at the call site: ``get_model`` wires the head
 input as ``1*pred_emb_dim`` (``:77``), which only matches resnet18's
@@ -127,18 +128,42 @@ def _conv(x, w, stride=1):
     )
 
 
-def _bn(x, p, s, training: bool, momentum=0.1, eps=1e-5):
-    """Returns (y, new_stats)."""
+def _bn(x, p, s, training: bool, momentum=0.1, eps=1e-5, groups: int = 1):
+    """Returns (y, new_stats).
+
+    ``groups > 1``: per-replica BatchNorm — batch statistics are computed
+    independently over each of ``groups`` contiguous batch chunks (chunk
+    boundary == shard boundary, so under SPMD each chunk's stats stay
+    device-local, exactly the reference's per-rank DDP BatchNorm without
+    SyncBN).  Running stats follow group 0, mirroring torch DDP's
+    ``broadcast_buffers=True`` which overwrites every rank's buffers with
+    rank 0's each forward.  ``groups == 1`` is global-batch (SyncBN)
+    semantics — identical to the reference at world_size 1.
+    """
     if training:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * n / max(n - 1, 1)
-        new_s = {
-            "mean": (1 - momentum) * s["mean"] + momentum * mean,
-            "var": (1 - momentum) * s["var"] + momentum * unbiased,
-        }
+        if groups > 1:
+            B = x.shape[0]
+            g = xf.reshape(groups, B // groups, *x.shape[1:])
+            mean_g = jnp.mean(g, axis=(1, 2, 3))            # [G, C]
+            var_g = jnp.var(g, axis=(1, 2, 3))              # [G, C]
+            n = (B // groups) * x.shape[1] * x.shape[2]
+            mean = jnp.repeat(mean_g, B // groups, axis=0)[:, None, None, :]
+            var = jnp.repeat(var_g, B // groups, axis=0)[:, None, None, :]
+            unbiased0 = var_g[0] * n / max(n - 1, 1)
+            new_s = {
+                "mean": (1 - momentum) * s["mean"] + momentum * mean_g[0],
+                "var": (1 - momentum) * s["var"] + momentum * unbiased0,
+            }
+        else:
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.var(xf, axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * n / max(n - 1, 1)
+            new_s = {
+                "mean": (1 - momentum) * s["mean"] + momentum * mean,
+                "var": (1 - momentum) * s["var"] + momentum * unbiased,
+            }
     else:
         mean, var = s["mean"], s["var"]
         new_s = s
@@ -155,13 +180,21 @@ def apply(
     training: bool = True,
     with_head: bool = True,
     dtype=jnp.float32,
+    bn_groups: int = 1,
 ):
-    """``[B, H, W, 3] → ([B, head_dim] or [B, feat_dim], new_stats)``."""
+    """``[B, H, W, 3] → ([B, head_dim] or [B, feat_dim], new_stats)``.
+
+    ``bn_groups``: BatchNorm statistic groups over the batch axis (1 =
+    global/SyncBN; = data-shard count for the reference's per-rank DDP
+    BatchNorm — see :func:`_bn`)."""
+    import functools
+
+    bn = functools.partial(_bn, groups=bn_groups)
     kind, reps = BLOCKS[name]
     x = x.astype(dtype)
     new_stats: dict = {}
     x = _conv(x, params["stem"]["conv"].astype(dtype), stride=2)
-    x, new_stats["stem"] = _bn(x, params["stem"]["bn"], stats["stem"], training)
+    x, new_stats["stem"] = bn(x, params["stem"]["bn"], stats["stem"], training)
     x = jax.nn.relu(x)
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -177,22 +210,22 @@ def apply(
             nbs: dict = {}
             if kind == "basic":
                 y = _conv(x, bp["conv1"].astype(dtype), stride)
-                y, nbs["bn1"] = _bn(y, bp["bn1"], bs["bn1"], training)
+                y, nbs["bn1"] = bn(y, bp["bn1"], bs["bn1"], training)
                 y = jax.nn.relu(y)
                 y = _conv(y, bp["conv2"].astype(dtype))
-                y, nbs["bn2"] = _bn(y, bp["bn2"], bs["bn2"], training)
+                y, nbs["bn2"] = bn(y, bp["bn2"], bs["bn2"], training)
             else:
                 y = _conv(x, bp["conv1"].astype(dtype))
-                y, nbs["bn1"] = _bn(y, bp["bn1"], bs["bn1"], training)
+                y, nbs["bn1"] = bn(y, bp["bn1"], bs["bn1"], training)
                 y = jax.nn.relu(y)
                 y = _conv(y, bp["conv2"].astype(dtype), stride)
-                y, nbs["bn2"] = _bn(y, bp["bn2"], bs["bn2"], training)
+                y, nbs["bn2"] = bn(y, bp["bn2"], bs["bn2"], training)
                 y = jax.nn.relu(y)
                 y = _conv(y, bp["conv3"].astype(dtype))
-                y, nbs["bn3"] = _bn(y, bp["bn3"], bs["bn3"], training)
+                y, nbs["bn3"] = bn(y, bp["bn3"], bs["bn3"], training)
             if "down_conv" in bp:
                 identity = _conv(x, bp["down_conv"].astype(dtype), stride)
-                identity, nbs["down_bn"] = _bn(
+                identity, nbs["down_bn"] = bn(
                     identity, bp["down_bn"], bs["down_bn"], training
                 )
             x = jax.nn.relu(y + identity)

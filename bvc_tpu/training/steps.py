@@ -250,6 +250,7 @@ def make_simclr_train_step(
     param_mode: str = "replicated",
     dtype=jnp.float32,
     negatives: str = "global",
+    bn_stats: str = "global",
 ):
     """SimCLR step over pair batches ``[B, 2, H, W, C]``.
 
@@ -265,14 +266,13 @@ def make_simclr_train_step(
     samples, reproducing the reference's per-rank loss exactly
     (SURVEY.md §2.5 "per-rank only").
 
-    BatchNorm note (deviation by design): batch statistics are computed
-    over the GLOBAL batch (the jitted mean/var reduce across the data
-    axis), i.e. SyncBN semantics.  The reference's DDP ResNet normalizes
-    with per-rank batch stats while broadcasting the running buffers
-    from rank 0 every forward (torch DDP ``broadcast_buffers=True``) — a
-    rank-asymmetric artifact rather than a design choice; global stats
-    are its lower-variance SPMD analogue and match it exactly at
-    world_size 1.
+    ``bn_stats``: 'global' computes BatchNorm batch statistics over the
+    GLOBAL batch (SyncBN semantics — the lower-variance SPMD default,
+    identical to the reference at world_size 1); 'per_replica'
+    reproduces the reference's DDP BatchNorm exactly — per-rank batch
+    stats with running buffers following rank 0 (torch DDP
+    ``broadcast_buffers=True``), implemented as shard-aligned stat
+    groups in :func:`bvc_tpu.models.resnet._bn`.
     """
     data_size = mesh.shape.get("data", 1)
     from bvc_tpu.models import resnet
@@ -293,10 +293,16 @@ def make_simclr_train_step(
             sample_ids = jnp.arange(B) // per_shard
             replica_ids = jnp.repeat(sample_ids, 2)
             n_rep = data_size
+        # per-replica BN groups must align with the interleaved [2B] rows
+        # of a shard: 2B rows / data shards (guarded to divide evenly)
+        bn_groups = 1
+        if bn_stats == "per_replica" and data_size > 1 and (2 * B) % data_size == 0:
+            bn_groups = data_size
 
         def loss_fn(params):
             feats, new_stats = resnet.apply(
-                params, state.extra, x, arch, training=True, dtype=dtype
+                params, state.extra, x, arch, training=True, dtype=dtype,
+                bn_groups=bn_groups,
             )
             loss = info_nce_loss(feats, temperature, loss_mode, replica_ids, n_rep)
             return loss, new_stats

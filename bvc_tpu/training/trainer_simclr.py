@@ -100,6 +100,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         mesh, arch, tx, TEMPERATURE, loss_mode="parity",
         param_mode=cfg.param_sharding,
         negatives=getattr(cfg.optim, "contrastive_negatives", "global"),
+        bn_stats=getattr(cfg.optim, "bn_stats", "global"),
     )
 
     datasets = make_dataset("simclr", cfg.data)

@@ -227,6 +227,9 @@ class OptimConfig:
     # SimCLR negative scope: 'global' (all chips) or 'per_replica'
     # (reference per-rank parity — SURVEY.md §2.5)
     contrastive_negatives: str = "global"
+    # SimCLR BatchNorm statistics: 'global' (SyncBN, the SPMD default)
+    # or 'per_replica' (reference DDP per-rank BN parity)
+    bn_stats: str = "global"
 
 
 @dataclass

@@ -96,6 +96,43 @@ class TestResNet:
         feats, _ = resnet.apply(params, stats, x, "resnet50", with_head=False)
         assert feats.shape == (1, 2048)
 
+    def test_per_replica_bn_matches_independent_halves(self):
+        # bn_groups=2 must equal applying BN to each half-batch
+        # separately (the reference's per-rank DDP BatchNorm), with the
+        # running stats following group 0 (torch broadcast_buffers).
+        # _bn-level check is EXACT:
+        from bvc_tpu.models.resnet import _bn
+
+        p = {"scale": jnp.ones((3,)), "bias": jnp.zeros((3,))}
+        s = {"mean": jnp.zeros((3,)), "var": jnp.ones((3,))}
+        xb = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 5, 5, 3)), jnp.float32)
+        yg, nsg = _bn(xb, p, s, True, groups=2)
+        ya, nsa = _bn(xb[:2], p, s, True)
+        yb, _ = _bn(xb[2:], p, s, True)
+        np.testing.assert_allclose(np.asarray(yg[:2]), np.asarray(ya), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(yg[2:]), np.asarray(yb), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(nsg["mean"]),
+                                   np.asarray(nsa["mean"]), atol=1e-6)
+
+        # network-level check is LOOSE: XLA CPU convs accumulate in a
+        # batch-size-dependent order, so a [4]-batch run drifts ~1e-3
+        # from two [2]-batch runs even for per-sample ops
+        params, stats = resnet.init_params(jax.random.PRNGKey(2), "resnet18", 32)
+        x = jnp.array(
+            np.random.default_rng(1).standard_normal((4, 32, 32, 3)), jnp.float32)
+        out_g, ns_g = resnet.apply(params, stats, x, "resnet18",
+                                   training=True, bn_groups=2)
+        out_a, ns_a = resnet.apply(params, stats, x[:2], "resnet18", training=True)
+        np.testing.assert_allclose(np.asarray(out_g[:2]), np.asarray(out_a),
+                                   rtol=0.05, atol=0.01)
+        np.testing.assert_allclose(
+            np.asarray(ns_g["stem"]["mean"]), np.asarray(ns_a["stem"]["mean"]),
+            rtol=1e-3, atol=1e-4)
+        # and clearly differs from global-stat normalization
+        out_1, _ = resnet.apply(params, stats, x, "resnet18", training=True)
+        assert float(np.abs(np.asarray(out_g) - np.asarray(out_1)).max()) > 0.01
+
 
 class TestSimclrTrainStep:
     def test_loss_decreases(self):
@@ -116,6 +153,27 @@ class TestSimclrTrainStep:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+    def test_per_replica_bn_stats_mode(self):
+        # bn_stats='per_replica' (reference DDP BN parity) must run on the
+        # 8-device mesh and produce a finite loss DIFFERENT from the
+        # global-stat default (the stats really changed scope)
+        mesh = make_mesh()
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", 32)
+        video = np.random.default_rng(0).standard_normal(
+            (16, 2, 32, 32, 3)).astype(np.float32)
+        out = {}
+        for mode in ("global", "per_replica"):
+            state = place_state(
+                TrainState.create(params, tx, jax.random.PRNGKey(1), extra=stats),
+                mesh,
+            )
+            step = make_simclr_train_step(mesh, "resnet18", tx, bn_stats=mode)
+            state, metrics = step(state, shard_batch(video, mesh))
+            out[mode] = float(metrics["loss"])
+        assert all(np.isfinite(v) for v in out.values())
+        assert out["global"] != out["per_replica"]
 
 
 class TestSimclrTrainerEndToEnd:
