@@ -51,6 +51,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--run_id", type=str, default="")
     p.add_argument("--annotation_path", type=str, default="")
+    p.add_argument("--ucf_fold", type=int, default=1,
+                   help="UCF101 train/test fold (dsdatasets.py:238)")
     return p
 
 
@@ -105,7 +107,7 @@ def main(argv=None):
             dataset = make_task_dataset(
                 args.ds_task, args.vid_root, args.frame_rate, args.num_frames,
                 train=(phase == "train"), image_size=args.image_size,
-                annotation_path=args.annotation_path,
+                annotation_path=args.annotation_path, fold=args.ucf_fold,
             )
             logger.info("extracting %s/%s: %d samples (ckpt=%s)",
                         args.ds_task, phase, len(dataset), ckpt)

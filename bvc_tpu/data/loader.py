@@ -63,6 +63,12 @@ class EpochSampler:
         batches = order.reshape(n_batches, self.global_batch)
         # host slice: contiguous block of each global batch
         n_proc, i_proc = jax.process_count(), jax.process_index()
+        if self.global_batch % n_proc != 0:
+            # truncating would silently drop samples from every batch
+            raise ValueError(
+                f"global_batch_size ({self.global_batch}) must divide "
+                f"evenly across {n_proc} processes"
+            )
         per = self.global_batch // n_proc
         return list(batches[:, i_proc * per : (i_proc + 1) * per])
 

@@ -46,14 +46,16 @@ from bvc_tpu.utils.logging import get_logger, is_main_process
 
 def make_task_dataset(ds_task: str, vid_root: str, frame_rate: int,
                       sample_len: int, train: bool, image_size: int = 224,
-                      annotation_path: str = ""):
+                      annotation_path: str = "", fold: int = 1):
     if ds_task == "ssv2":
         return SSv2Dataset(vid_root, frame_rate, sample_len, train, image_size)
     if ds_task in ("toybox", "tb_cat", "tb_trans"):
         return ToyboxDataset(vid_root, frame_rate, sample_len, image_size)
     if ds_task == "ucf101":
+        # fold plumbed through like the reference's UCF101(fold=...)
+        # (benchmarks/dsdatasets.py:238)
         return UCF101Dataset(vid_root, annotation_path or str(Path(vid_root).parent / "ucfTrainTestlist"),
-                             fold=1, train=train, sample_len=sample_len,
+                             fold=fold, train=train, sample_len=sample_len,
                              frame_rate=frame_rate, image_size=image_size)
     if ds_task == "cifar10":
         return Cifar10Dataset(vid_root, sample_len, train, image_size)
@@ -199,12 +201,17 @@ def extract_embeddings(
     logger = get_logger("bvc_tpu.extract")
     import concurrent.futures as cf
 
-    # compiled batch shape: batch_size rounded up so every 'data' shard
-    # gets equal rows (spare rows are pad, dropped after embed)
+    # batch shapes: full batches ride one compiled shape (batch_size
+    # rounded up so every 'data' shard gets equal rows); the final short
+    # batch is only padded to the next shard multiple — embedding
+    # duplicate pad rows up to the full batch would waste compute, and a
+    # single extra compiled shape per sweep is cheaper (persistent
+    # compile cache) than re-embedding up to batch_size-1 clips per task
     data_size = mesh.shape.get("data", 1)
     padded_size = -(-batch_size // data_size) * data_size
     fnames: list[str] = []
     embs: list[np.ndarray] = []
+    feature_dim: int | None = None
     n = len(dataset)
     idxs = list(range(n))
     # host slicing for multi-host runs
@@ -218,18 +225,25 @@ def extract_embeddings(
             clips, names = drop_none_collate(samples)
             if len(names) == 0:
                 continue
-            # pad to full batch for a single compiled shape
-            pad = padded_size - clips.shape[0]
+            # full batches share one compiled shape; the final short batch
+            # pads only to the next shard multiple (no duplicate-embed of
+            # batch_size-1 rows)
+            target = padded_size if clips.shape[0] == padded_size else (
+                -(-clips.shape[0] // data_size) * data_size
+            )
+            pad = target - clips.shape[0]
             if pad:
                 clips = np.concatenate([clips, np.repeat(clips[-1:], pad, 0)])
             out = np.asarray(embed_fn(clips))
             if pad:
                 out = out[: len(names)]
+            feature_dim = out.shape[1]
             fnames += list(names)
             embs.append(out.astype(np.float32))
     local = {
         "fnames": fnames,
-        "embeddings": np.concatenate(embs) if embs else np.zeros((0, 1), np.float32),
+        "embeddings": np.concatenate(embs) if embs
+        else np.zeros((0, feature_dim or 1), np.float32),
     }
     gathered = all_gather_objects(local)
     return merge_gathered(gathered)
@@ -239,9 +253,11 @@ def merge_gathered(gathered) -> tuple[list[str], np.ndarray]:
     """Merge per-host ``{'fnames', 'embeddings'}`` dicts.
 
     A host with zero rows contributes a ``(0, 1)`` placeholder whose
-    feature dim does not match the real hosts' ``(B, D)`` arrays —
+    feature dim may not match the real hosts' ``(B, D)`` arrays —
     concatenating the mix would raise, so empty blocks are dropped when
-    any host produced rows."""
+    any host produced rows.  When every host is empty, the widest
+    placeholder dim is kept (hosts that at least embedded something
+    report the true D via their placeholder)."""
     all_names: list[str] = []
     all_embs: list[np.ndarray] = []
     for d in gathered:
@@ -250,7 +266,8 @@ def merge_gathered(gathered) -> tuple[list[str], np.ndarray]:
     non_empty = [e for e in all_embs if e.shape[0]]
     if non_empty:
         return all_names, np.concatenate(non_empty)
-    return all_names, np.zeros((0, 1), np.float32)
+    dim = max((e.shape[1] for e in all_embs), default=1)
+    return all_names, np.zeros((0, dim), np.float32)
 
 
 def run_id_from_checkpoint(fp: str) -> str:

@@ -127,3 +127,41 @@ def info_nce_loss(
     log_z_row = logsumexp(row_logits, axis=-1)
     pos_sim = jnp.sum(jnp.where(pos_mask, sim, 0.0), axis=-1)
     return jnp.mean(log_z_row - pos_sim)
+
+
+def per_replica_info_nce_sharded(
+    feats: jnp.ndarray,
+    mesh,
+    temperature: float = 0.1,
+    mode: str = "parity",
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Per-replica InfoNCE as per-shard blocks under ``shard_map``.
+
+    Numerically identical to ``info_nce_loss(feats, ..., replica_ids=...)``
+    with shard-aligned replica ids (equivalence-tested), but each chip only
+    ever materialises its own ``[2B/S, 2B/S]`` block instead of the full
+    replicated ``[2B, 2B]`` cosine matrix — the scalable shape for pods:
+    at v5e-256 with the reference's 32 pairs/chip, the replicated matrix
+    is 16384^2 f32 (~1 GB/chip) while the block is 64^2.
+
+    Reference semantics anchor: the per-rank criterion of
+    ``contrastive/pretrain_simclr.py:284-292`` — each shard IS a rank, so
+    the per-shard loss is exactly the reference's per-rank loss and the
+    ``pmean`` reproduces the DDP loss average (the reference's custom
+    ``AllReduce``).
+    """
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_loss(f):
+        # f is this shard's [2b, D] block; a shard is a replica, so the
+        # plain (non-replica-scoped) loss on the block is the per-replica
+        # loss, and pmean averages over replicas.
+        return jax.lax.pmean(info_nce_loss(f, temperature, mode), axis)
+
+    return shard_map(
+        local_loss, mesh=mesh, in_specs=P(axis), out_specs=P(),
+        check_rep=False,
+    )(feats.astype(jnp.float32))

@@ -71,7 +71,10 @@ def multi_head_attention(
     n = q.shape[1]
     if impl == "xla_bf16":
         on_tpu = jax.default_backend() == "tpu"
-        if key_mask is None and n >= 512 and on_tpu:
+        if n >= 512 and on_tpu:
+            # long sequences: defer to flash whether masked or not —
+            # even bf16 [B,h,N,N] logits are the HBM temp flash avoids
+            # (masked calls take the key-bias kernels)
             impl = "flash"
         else:
             return _xla_attention(q, k, v, scale, key_mask, jnp.bfloat16)

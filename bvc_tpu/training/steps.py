@@ -276,7 +276,10 @@ def make_simclr_train_step(
     """
     data_size = mesh.shape.get("data", 1)
     from bvc_tpu.models import resnet
-    from bvc_tpu.objectives.contrastive import info_nce_loss
+    from bvc_tpu.objectives.contrastive import (
+        info_nce_loss,
+        per_replica_info_nce_sharded,
+    )
 
     def step(state: TrainState, batch):
         from bvc_tpu.models.videomae import normalize_on_device
@@ -286,25 +289,27 @@ def make_simclr_train_step(
         x = batch.reshape(B * 2, *batch.shape[2:])
         rng, _ = jax.random.split(state.rng)
 
-        per_shard = (B + data_size - 1) // data_size
-        replica_ids = None
-        n_rep = 1
-        if negatives == "per_replica" and data_size > 1:
-            sample_ids = jnp.arange(B) // per_shard
-            replica_ids = jnp.repeat(sample_ids, 2)
-            n_rep = data_size
         # per-replica BN groups must align with the interleaved [2B] rows
-        # of a shard: 2B rows / data shards (guarded to divide evenly)
-        bn_groups = 1
-        if bn_stats == "per_replica" and data_size > 1 and (2 * B) % data_size == 0:
-            bn_groups = data_size
+        # of a shard: 2B rows / data shards (divisibility enforced by the
+        # guarded wrapper below, before jit)
+        bn_groups = data_size if bn_stats == "per_replica" and data_size > 1 else 1
 
         def loss_fn(params):
             feats, new_stats = resnet.apply(
                 params, state.extra, x, arch, training=True, dtype=dtype,
                 bn_groups=bn_groups,
             )
-            loss = info_nce_loss(feats, temperature, loss_mode, replica_ids, n_rep)
+            if negatives == "per_replica" and data_size > 1:
+                # per-shard blocks under shard_map: each chip scores only
+                # its own [2B/S, 2B/S] block (never the replicated
+                # [2B, 2B] matrix), numerically identical to the
+                # replica_ids segment formulation — see
+                # objectives/contrastive.py
+                loss = per_replica_info_nce_sharded(
+                    feats, mesh, temperature, loss_mode
+                )
+            else:
+                loss = info_nce_loss(feats, temperature, loss_mode)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -338,7 +343,26 @@ def make_simclr_train_step(
         )
         return {"loss": info_nce_loss(feats, temperature, loss_mode)}
 
-    return _jit_over_mesh(step, eval_step, mesh, param_mode)
+    inner = _jit_over_mesh(step, eval_step, mesh, param_mode)
+    if bn_stats == "per_replica" and data_size > 1:
+        # refuse (eagerly, before pjit's own divisibility error can blur
+        # the message) to silently degrade to SyncBN semantics when the
+        # user explicitly asked for reference-DDP per-rank stats
+        def guarded(state, batch):
+            B = batch.shape[0]
+            if (2 * B) % data_size != 0:
+                raise ValueError(
+                    f"bn_stats='per_replica' requires the flattened batch "
+                    f"(2*B={2 * B}) to split evenly into {data_size} "
+                    f"per-shard stat groups — pick a batch size divisible "
+                    f"by the mesh or use bn_stats='global'."
+                )
+            return inner(state, batch)
+
+        guarded.eval_step = inner.eval_step  # type: ignore[attr-defined]
+        guarded.shardings = inner.shardings  # type: ignore[attr-defined]
+        return guarded
+    return inner
 
 
 def _jit_over_mesh(step, eval_step, mesh: Mesh, param_mode: str):

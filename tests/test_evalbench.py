@@ -266,6 +266,26 @@ class TestMeshShardedExtraction:
         # every compiled batch is padded to a multiple of the data axis (8)
         assert all(s % 8 == 0 for s in seen)
 
+    def test_final_short_batch_not_padded_to_full(self):
+        # VERDICT r2 #10: the final short batch pads only to the next
+        # shard multiple instead of duplicate-embedding up to batch_size
+        import jax
+
+        from bvc_tpu.evalbench.extract import extract_embeddings
+        from bvc_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
+        seen = []
+
+        def fake_embed(v):
+            seen.append(np.asarray(v).shape[0])
+            return np.asarray(v).reshape(np.asarray(v).shape[0], -1)[:, :4]
+
+        names, embs = extract_embeddings(fake_embed, self._FakeDs(10, (2, 4, 4, 3)),
+                                         batch_size=6, mesh=mesh)
+        assert len(names) == 10 and embs.shape[0] == 10
+        assert seen == [6, 4]  # final 4 rows NOT padded to 6
+
     def test_merge_gathered_tolerates_zero_row_hosts(self):
         from bvc_tpu.evalbench.extract import merge_gathered
 
@@ -325,6 +345,26 @@ class TestUCF101ClipIndex:
             "\n".join(f"{e} 1" for e in entries) + "\n")
         (ann / "testlist01.txt").write_text("\n".join(entries) + "\n")
         return str(root), str(ann)
+
+    def test_fold_plumbed_through_make_task_dataset(self, ucf_corpus):
+        # VERDICT r2 #5c: the UCF101 fold reaches the dataset (the
+        # reference exposes it, dsdatasets.py:238)
+        from pathlib import Path
+
+        from bvc_tpu.evalbench.extract import make_task_dataset
+
+        root, ann = ucf_corpus
+        # fold-2 lists contain only one video
+        first = Path(ann, "trainlist01.txt").read_text().splitlines()[0]
+        Path(ann, "trainlist02.txt").write_text(first + "\n")
+        Path(ann, "testlist02.txt").write_text(first.split()[0] + "\n")
+        with pytest.warns(UserWarning):
+            ds1 = make_task_dataset("ucf101", root, None, 8, train=True,
+                                    image_size=16, annotation_path=ann, fold=1)
+        ds2 = make_task_dataset("ucf101", root, None, 8, train=True,
+                                image_size=16, annotation_path=ann, fold=2)
+        assert len({rel for rel, _, _ in ds2.clips}) == 1
+        assert len({rel for rel, _, _ in ds1.clips}) > 1
 
     def test_enumeration_and_cache(self, ucf_corpus, monkeypatch):
         import cv2

@@ -175,6 +175,26 @@ class TestSimclrTrainStep:
         assert all(np.isfinite(v) for v in out.values())
         assert out["global"] != out["per_replica"]
 
+    def test_per_replica_bn_raises_on_indivisible_batch(self):
+        # asking for reference-DDP BN parity with a batch that cannot be
+        # split into per-shard stat groups must raise, not silently fall
+        # back to SyncBN semantics
+        import pytest
+
+        mesh = make_mesh()
+        if mesh.shape.get("data", 1) <= 1:
+            pytest.skip("needs a multi-device data axis")
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", 32)
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1), extra=stats),
+            mesh,
+        )
+        step = make_simclr_train_step(mesh, "resnet18", tx, bn_stats="per_replica")
+        bad = np.zeros((2, 2, 32, 32, 3), np.float32)  # 2*B=4 vs 8 shards
+        with pytest.raises(ValueError, match="per_replica"):
+            step(state, bad)
+
 
 class TestSimclrTrainerEndToEnd:
     def test_stage(self, frame_corpus, tmp_path):
@@ -256,6 +276,58 @@ class TestPerReplicaNegatives:
         )
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+    def test_sharded_blocks_match_replica_ids_path(self):
+        # VERDICT r2 #6: the shard_map per-block formulation must equal
+        # the replicated-matrix replica_ids path to 1e-6, in both modes
+        from bvc_tpu.objectives.contrastive import (
+            info_nce_loss,
+            per_replica_info_nce_sharded,
+        )
+        from bvc_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh()  # 8-device data mesh
+        S = mesh.shape["data"]
+        rng = np.random.default_rng(1)
+        feats_np = rng.standard_normal((S * 4, 16)).astype(np.float32)
+        rows_per = feats_np.shape[0] // S
+        ids = jnp.repeat(jnp.arange(S), rows_per)
+        feats = shard_batch(feats_np, mesh)
+        for mode in ("parity", "standard"):
+            ref = float(info_nce_loss(jnp.asarray(feats_np), 0.1, mode,
+                                      replica_ids=ids, n_replicas=S))
+            got = float(jax.jit(
+                lambda f: per_replica_info_nce_sharded(f, mesh, 0.1, mode)
+            )(feats))
+            assert got == pytest.approx(ref, abs=1e-6), mode
+
+    def test_sharded_step_loss_matches_replica_ids_step(self):
+        # the wired train step (which now routes per_replica through
+        # shard_map) must produce the same first-step loss as computing
+        # the replica_ids formulation on the same features
+        from bvc_tpu.objectives.contrastive import info_nce_loss
+
+        mesh = make_mesh({"data": 4}, jax.devices()[:4])
+        tx = make_optimizer(OptimConfig(lr=0.01))
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18", 16)
+        video = np.random.default_rng(0).standard_normal(
+            (8, 2, 32, 32, 3)).astype(np.float32)
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1), extra=stats), mesh
+        )
+        step = make_simclr_train_step(mesh, "resnet18", tx, negatives="per_replica")
+        _, metrics = step(state, shard_batch(video, mesh))
+        # recompute the loss on the same features with the segment path
+        from bvc_tpu.models.videomae import normalize_on_device
+
+        x = np.asarray(jax.device_get(normalize_on_device(jnp.asarray(video))))
+        x = x.reshape(16, 32, 32, 3)
+        feats, _ = resnet.apply(params, stats, jnp.asarray(x), "resnet18",
+                                training=True)
+        ids = jnp.repeat(jnp.arange(4), 4)
+        ref = float(info_nce_loss(feats, 0.1, "parity", replica_ids=ids,
+                                  n_replicas=4))
+        assert float(metrics["loss"]) == pytest.approx(ref, abs=2e-5)
 
 
 class TestToyboxSweep:
