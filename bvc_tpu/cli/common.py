@@ -45,6 +45,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--control_data_root", type=str, default="")
     p.add_argument("--segment_minutes", type=float, default=30.0,
                    help="fold segment length in minutes (reference: 30)")
+    p.add_argument("--log_grad_stats", type=str, default="n",
+                   help="y: device-side per-layer grad-norm stats table "
+                        "(the reference grad_logger meter) in the log line")
     return p
 
 
@@ -72,6 +75,7 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     # preemption-recovery flags (present on all three pretrain CLIs)
     cfg.save_every_epoch = getattr(args, "save_every_epoch", "n") == "y"
     cfg.resume = getattr(args, "resume", "n") == "y"
+    cfg.log_grad_stats = getattr(args, "log_grad_stats", "n") == "y"
 
     d = cfg.data
     d.jpg_root = args.jpg_root

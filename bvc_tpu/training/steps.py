@@ -146,6 +146,7 @@ def make_jepa_train_step(
     ema: tuple[float, float] = (0.996, 1.0),
     param_mode: str = "replicated",
     ema_fallback: float = 0.998,
+    grad_probes: dict[str, Callable[[Any], jnp.ndarray]] | None = None,
 ):
     """JEPA step: context-encode → predict → smooth-L1 vs frozen EMA
     targets → update online nets → EMA the target encoder.
@@ -217,6 +218,8 @@ def make_jepa_train_step(
             "mask_b": jnp.sum(pred_idx[0, 0] >= 0),
             "ema_m": m,
         }
+        for name, fn in (grad_probes or {}).items():
+            metrics[name] = fn(grads)
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state,
                        rng=rng, target_params=target_params, extra=state.extra),
@@ -251,6 +254,7 @@ def make_simclr_train_step(
     dtype=jnp.float32,
     negatives: str = "global",
     bn_stats: str = "global",
+    grad_probes: dict[str, Callable[[Any], jnp.ndarray]] | None = None,
 ):
     """SimCLR step over pair batches ``[B, 2, H, W, C]``.
 
@@ -324,6 +328,8 @@ def make_simclr_train_step(
             "grad_conv1": optax.global_norm(grads["stem"]["conv"]),
             "grad_fc0": optax.global_norm(grads["head"]["fc1"]),
         }
+        for name, fn in (grad_probes or {}).items():
+            metrics[name] = fn(grads)
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state,
                        rng=rng, target_params=state.target_params,

@@ -180,9 +180,14 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     # pretrain_jepa.py:309-311 uses ipe*num_epochs; with the CLI default
     # max_epoch_iters=0 the per-epoch count comes from the data)
     total_steps = max(n_batches, 1) * cfg.n_epoch
+    probes = None
+    if cfg.log_grad_stats:
+        from bvc_tpu.training.probes import full_grad_probes
+
+        probes = full_grad_probes("jepa")
     step = make_jepa_train_step(
         mesh, cfg.model, tx, total_steps, cfg.optim.ema, cfg.param_sharding,
-        ema_fallback=cfg.optim.ema_fallback,
+        ema_fallback=cfg.optim.ema_fallback, grad_probes=probes,
     )
     loader = DataLoader(
         datasets["train"], mesh, global_batch, shuffle=True, seed=cfg.seed,
@@ -244,10 +249,17 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                     int(pipe_ms[0]),
                 )
             if itr % cfg.log_freq == 0:
+                extra = ""
+                if cfg.log_grad_stats and "gstat_avg" in metrics:
+                    extra = " [grad: %.2e (%.2e, %.2e)]" % (
+                        float(metrics["gstat_avg"]),
+                        float(metrics["gstat_min"]),
+                        float(metrics["gstat_max"]),
+                    )
                 logger.info(
-                    "[%d, %5d] loss: %.3f masks: %.1f %.1f (%.0f ms) m=%.4f",
+                    "[%d, %5d] loss: %.3f masks: %.1f %.1f (%.0f ms) m=%.4f%s",
                     epoch + 1, itr, loss_meter.avg, maskA.avg, maskB.avg,
-                    pipe_ms[0], float(metrics["ema_m"]),
+                    pipe_ms[0], float(metrics["ema_m"]), extra,
                 )
             if np.isnan(loss):
                 raise FloatingPointError(f"loss is nan at epoch {epoch} itr {itr}")

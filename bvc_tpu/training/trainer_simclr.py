@@ -96,11 +96,17 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             return {"checkpoint": str(own_ckpt),
                     "train_loss": meta.get("train_loss", 0.0)}
     state = place_state(state, mesh, cfg.param_sharding)
+    probes = None
+    if cfg.log_grad_stats:
+        from bvc_tpu.training.probes import full_grad_probes
+
+        probes = full_grad_probes("simclr")
     step = make_simclr_train_step(
         mesh, arch, tx, TEMPERATURE, loss_mode="parity",
         param_mode=cfg.param_sharding,
         negatives=getattr(cfg.optim, "contrastive_negatives", "global"),
         bn_stats=getattr(cfg.optim, "bn_stats", "global"),
+        grad_probes=probes,
     )
 
     datasets = make_dataset("simclr", cfg.data)
@@ -157,8 +163,15 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                                float(metrics["grad_conv1"]),
                                float(metrics["grad_fc0"]), int(pipe_ms[0]))
             if itr % cfg.log_freq == 0:
-                logger.info("[%d, %5d] loss: %.3f (%.0f ms)",
-                            epoch + 1, itr, loss_meter.avg, pipe_ms[0])
+                extra = ""
+                if cfg.log_grad_stats and "gstat_avg" in metrics:
+                    extra = " [grad: %.2e (%.2e, %.2e)]" % (
+                        float(metrics["gstat_avg"]),
+                        float(metrics["gstat_min"]),
+                        float(metrics["gstat_max"]),
+                    )
+                logger.info("[%d, %5d] loss: %.3f (%.0f ms)%s",
+                            epoch + 1, itr, loss_meter.avg, pipe_ms[0], extra)
             if np.isnan(loss) or np.isinf(loss):
                 raise FloatingPointError(f"loss is {loss}")
 

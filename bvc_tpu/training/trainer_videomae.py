@@ -108,8 +108,13 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 "val_loss": meta.get("val_loss", 0.0),
             }
     state = place_state(state, mesh, cfg.param_sharding)
+    probes = dict(GRAD_PROBES)
+    if cfg.log_grad_stats:
+        from bvc_tpu.training.probes import full_grad_probes
+
+        probes.update(full_grad_probes("videomae"))
     step = make_videomae_train_step(
-        mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, GRAD_PROBES
+        mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, probes
     )
 
     # data ---------------------------------------------------------------------
@@ -185,10 +190,19 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                     from bvc_tpu.utils.profiling import device_memory_stats
 
                     mem = device_memory_stats()["peak_bytes_in_use"] / 1024**2
+                    extra = ""
+                    if cfg.log_grad_stats and "gstat_avg" in metrics:
+                        # the reference grad_logger meter line
+                        # (loggingtools AverageMeter avg/min/max)
+                        extra = " [grad: %.2e (%.2e, %.2e)]" % (
+                            float(metrics["gstat_avg"]),
+                            float(metrics["gstat_min"]),
+                            float(metrics["gstat_max"]),
+                        )
                     logger.info(
-                        "[%d, %5d] %s loss: %.3f [mem: %.2e MB] (%.0f ms/it)",
+                        "[%d, %5d] %s loss: %.3f [mem: %.2e MB] (%.0f ms/it)%s",
                         epoch + 1, itr, phase, loss_meter[phase].avg, mem,
-                        pipe_ms[0],
+                        pipe_ms[0], extra,
                     )
                 if np.isnan(loss) or np.isinf(loss):
                     raise FloatingPointError(

@@ -246,6 +246,9 @@ class TrainConfig:
     max_epoch_iters: int = 0  # 0 → as many as the data allows
     seed: int = 0
     log_freq: int = 10
+    # opt-in fuller grad_logger stats table (device-side avg/min/max over
+    # per-layer grad norms; surfaces in the INFO log line, CSV unchanged)
+    log_grad_stats: bool = False
     script: str = ""
     # parallelism
     mesh_shape: dict[str, int] = field(default_factory=dict)  # {} → all 'data'
