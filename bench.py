@@ -86,11 +86,18 @@ def main():
 
     clips_per_sec = batch * iters / dt
     per_chip = clips_per_sec / n_dev
+    # MFU: analytic model FLOPs (enc 28.3 + dec 37.3 + bridge/head 3.0
+    # GFLOP/clip fwd; fwd+bwd ≈ 3x ≈ 205 GFLOP/clip — PERFORMANCE.md
+    # "MFU") over the v5e bf16 peak (197 TFLOP/s)
+    flop_per_clip = 205e9
+    peak = 197e12
+    mfu_pct = per_chip * flop_per_clip / peak * 100.0
     print(json.dumps({
         "metric": "videomae_b_pretrain_throughput",
         "value": round(per_chip, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC_PER_ACCEL, 2),
+        "mfu_pct": round(mfu_pct, 1),
     }))
 
 

@@ -109,9 +109,11 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
     if family == "jepa":
         from bvc_tpu.models import jepa as jepa_model
 
-        # the reference extracts from the (EMA) target encoder when
-        # present, else the online encoder
-        enc = restored.get("target_encoder", restored.get("encoder"))
+        # the reference extracts from the ONLINE encoder: its get_model
+        # calls load_checkpoint(encoder=..., target_encoder=None), which
+        # loads checkpoint['encoder'] (compute_embeddings_jepa.py:87-89,
+        # helper.py:36-38); the EMA target is never used for embeddings
+        enc = restored.get("encoder", restored.get("target_encoder"))
         return _jit_embed(
             lambda prm, video: jepa_model.embed(prm, video, model_cfg),
             jax.tree_util.tree_map(np.asarray, enc), mesh,

@@ -18,6 +18,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# 'auto' routes a MASKED attention to the key-bias flash kernels once the
+# XLA path's f32 [B, h, Nq, Nk] score tensor would exceed this many bytes
+# per op — below it XLA's fused backward wins on time (212 vs 164 clips/s
+# in the real JEPA step at bs 64), above it the replicated score temps
+# (x remat copies) are what OOM JEPA at 128 clips/chip (PERFORMANCE.md
+# "Masked flash attention").  768 MiB keeps the bs-64 predictor
+# ([256,12,209,209] ≈ 536 MB) on XLA and sends bs 128 (≈ 1.07 GB) to
+# flash.
+MASKED_XLA_SCORE_BYTES_LIMIT = 768 * 2**20
+
+
+def masked_auto_impl(batch: int, heads: int, n_q: int, n_k: int,
+                     on_tpu: bool) -> str:
+    """Routing rule for masked 'auto' attention (unit-testable)."""
+    if not on_tpu:
+        return "xla"
+    score_bytes = batch * heads * n_q * n_k * 4
+    return "flash" if score_bytes > MASKED_XLA_SCORE_BYTES_LIMIT else "xla"
+
 
 def _xla_attention(q, k, v, scale, key_mask=None, score_dtype=None):
     # score_dtype=bf16 materialises the [B,h,N,N] logits in bf16 (half
@@ -88,11 +107,12 @@ def multi_head_attention(
             # masked: XLA measured FASTER in the real JEPA step (212 vs
             # 164 clips/s at bs 64 — the bias kernels' fwd matches XLA
             # but their backward loses, tools/probe_attn.py + A/B in
-            # PERFORMANCE.md).  The key-bias flash kernels remain opt-in
-            # (impl='flash') for memory-bound cases: they never
-            # materialise the f32 [B,h,N,N] scores that OOM JEPA at
-            # 128 clips/chip.
-            impl = "xla"
+            # PERFORMANCE.md) — UNLESS the f32 score tensor is big
+            # enough that its HBM residency becomes the binding
+            # constraint, where the key-bias flash kernels (which never
+            # materialise it) trade ~20% step time for not OOMing.
+            impl = masked_auto_impl(q.shape[0], q.shape[2], n, k.shape[1],
+                                    on_tpu)
     if impl == "flash":
         from bvc_tpu.ops.flash_attention import flash_attention
 

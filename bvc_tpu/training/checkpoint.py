@@ -32,6 +32,13 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _has_nonaddressable(tree: Any) -> bool:
+    return any(
+        isinstance(x, jax.Array) and not x.is_fully_addressable
+        for x in jax.tree_util.tree_leaves(tree)
+    )
+
+
 def save_checkpoint(
     path: str | Path,
     state_tree: dict[str, Any],
@@ -42,18 +49,43 @@ def save_checkpoint(
     ``state_tree`` keys mirror the reference dicts, e.g.
     ``{'model_state_dict': params, 'opt': opt_state, ...}`` or the JEPA
     ``{'encoder': ..., 'predictor': ..., 'target_encoder': ...}``.
+
+    Multi-host correctness: when the tree contains jax Arrays with
+    non-addressable shards (FSDP/TP state on a multi-host mesh), EVERY
+    process participates in the Orbax save — host 0 alone cannot
+    materialise remote shards (the reference's rank-0-only
+    ``save_on_master``, ``generative/ddputils.py:49-51``, is only correct
+    for replicated state).  Host-local trees (numpy, or fully-addressable
+    arrays) keep the host-0-only write.
+
+    Crash safety: the new checkpoint is written to a sibling ``.new``
+    directory and swapped in only once complete, so a host dying mid-save
+    leaves the PREVIOUS checkpoint intact (never a half-written one).
     """
     path = Path(path)
+    tmp = path.with_name(path.name + ".new")
     sync_hosts("pre-save")
-    if is_main_process():
-        if path.exists():
-            shutil.rmtree(path)
+    distributed = _has_nonaddressable(state_tree)
+    if is_main_process() and tmp.exists():
+        shutil.rmtree(tmp)  # stale leftovers from a killed save
+    if distributed:
+        sync_hosts("pre-save-clean")
+        # all hosts contribute their shards; Orbax writes one global
+        # array per leaf and finalises atomically
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path.resolve() / "state", _to_host(state_tree))
+            ckptr.save(tmp.resolve() / "state", state_tree)
+    elif is_main_process():
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(tmp.resolve() / "state", _to_host(state_tree))
+    if is_main_process():
         if meta is not None:
             import json
 
-            (path / "meta.json").write_text(json.dumps(meta, default=str))
+            (tmp / "meta.json").write_text(json.dumps(meta, default=str))
+        # atomic swap: the completed .new replaces the old checkpoint
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
     sync_hosts("post-save")
 
 

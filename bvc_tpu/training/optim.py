@@ -14,11 +14,29 @@ The JEPA param grouping — weight decay excluded for biases and 1-D params
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable, NamedTuple
 
 import optax
 
 from bvc_tpu.utils.config import OptimConfig
+
+
+class FusedTx(NamedTuple):
+    """optax-compatible transformation carrying an extra single-pass
+    ``fused_apply`` used by the train steps.
+
+    ``init``/``update`` are the plain optax chain (same state pytree
+    structure — checkpoints stay compatible and any caller using the
+    standard protocol gets identical numerics).  ``fused_apply`` computes
+    ``(new_params, new_state)`` in ONE tree_map, so XLA emits one fused
+    read(g,t,p) → write(t,p) kernel per leaf instead of materialising the
+    decayed-grad / trace / update intermediate trees (measured ~7.7 ms of
+    per-leaf reduction chains at ViT-B scale, PERFORMANCE.md).
+    """
+
+    init: Callable
+    update: Callable
+    fused_apply: Callable
 
 
 def wd_mask(params: Any) -> Any:
@@ -34,6 +52,54 @@ def wd_mask(params: Any) -> Any:
     return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
 
 
+def _make_fused_sgd_apply(lr, momentum, nesterov, wd, mask, trace_idx):
+    """Single-tree-map torch-SGD (coupled WD → nesterov trace → step),
+    numerically identical to the optax chain (equivalence-tested)."""
+    import jax
+
+    def leaf(g, t, p, m):
+        g = g + wd * p if (wd and m) else g
+        if momentum:
+            t_new = momentum * t + g
+            upd = g + momentum * t_new if nesterov else t_new
+        else:
+            t_new = t
+            upd = g
+        return p - lr * upd, t_new
+
+    def fused_apply(grads, opt_state, params):
+        t = opt_state[trace_idx].trace if trace_idx is not None else grads
+        m = mask if mask is not None else jax.tree_util.tree_map(
+            lambda _: True, params
+        )
+        zipped = jax.tree_util.tree_map(leaf, grads, t, params, m)
+        outer = jax.tree_util.tree_structure(params)
+        inner = jax.tree_util.tree_structure((0, 0))
+        new_params, new_trace = jax.tree_util.tree_transpose(
+            outer, inner, zipped
+        )
+        if trace_idx is not None:
+            new_state = (
+                opt_state[:trace_idx]
+                + (optax.TraceState(trace=new_trace),)
+                + opt_state[trace_idx + 1:]
+            )
+        else:
+            new_state = opt_state
+        return new_params, new_state
+
+    return fused_apply
+
+
+def apply_gradients(tx, grads, opt_state, params):
+    """(new_params, new_opt_state) — via ``fused_apply`` when the
+    transformation provides one, else the standard optax protocol."""
+    if hasattr(tx, "fused_apply"):
+        return tx.fused_apply(grads, opt_state, params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
+
+
 def make_optimizer(cfg: OptimConfig, params_example: Any | None = None) -> optax.GradientTransformation:
     wd = cfg.weight_decay
     mask = None
@@ -42,14 +108,20 @@ def make_optimizer(cfg: OptimConfig, params_example: Any | None = None) -> optax
 
     if cfg.name == "sgd":
         chain = []
+        trace_idx = None
         if wd:
             chain.append(optax.add_decayed_weights(wd, mask=mask))
         if cfg.momentum:
+            trace_idx = len(chain)
             chain.append(
                 optax.trace(decay=cfg.momentum, nesterov=cfg.nesterov)
             )
         chain.append(optax.scale(-cfg.lr))
-        return optax.chain(*chain)
+        tx = optax.chain(*chain)
+        fused = _make_fused_sgd_apply(
+            cfg.lr, cfg.momentum, cfg.nesterov, wd, mask, trace_idx
+        )
+        return FusedTx(init=tx.init, update=tx.update, fused_apply=fused)
     if cfg.name == "adamw":
         return optax.adamw(
             cfg.lr,

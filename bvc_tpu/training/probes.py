@@ -76,6 +76,84 @@ def _meter(norms_fn: Callable[[Any], jnp.ndarray]) -> dict[str, Callable]:
     }
 
 
+def _leaf_sumsqs(grads: Any, stacked) -> list[tuple[str, jnp.ndarray]]:
+    """(path, sumsq) per leaf — per-DEPTH vectors for stacked-block
+    leaves (``stacked(path)`` True), scalars otherwise.  One read of the
+    gradient tree; every norm metric below is a combination of these
+    partial sums."""
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        p = _path_str(path)
+        x = jnp.asarray(leaf).astype(jnp.float32)
+        if stacked(p) and x.ndim >= 1:
+            out.append((p, jnp.sum(x * x, axis=tuple(range(1, x.ndim)))))
+        else:
+            out.append((p, jnp.sum(x * x)))
+    return out
+
+
+def _sqrt_sum(parts: list[jnp.ndarray]) -> jnp.ndarray:
+    if not parts:
+        return jnp.zeros((), jnp.float32)
+    return jnp.sqrt(sum(jnp.sum(x) for x in parts))
+
+
+def videomae_grad_metrics(grads: Any) -> dict[str, jnp.ndarray]:
+    """grad_norm + the generative CSV's EFL/ELL/DLL probes
+    (``generative/loggingtools.py:98-119``) from ONE pass over the
+    gradients — per-leaf sum-of-squares computed once and combined,
+    instead of four independent reduction chains (VERDICT r2 #2: the
+    probes were ~7.7 ms of the step residual as separate reductions).
+
+    The videomae tree stacks its transformer layers directly under the
+    ``encoder``/``decoder`` keys (no ``blocks`` level)."""
+    ssqs = _leaf_sumsqs(
+        grads, lambda p: p.split("/", 1)[0] in ("encoder", "decoder")
+    )
+    total, efl, ell, dll = [], [], [], []
+    for p, v in ssqs:
+        head = p.split("/", 1)[0]
+        total.append(v)
+        if head == "patch_embed":
+            efl.append(v)
+        elif head == "decoder_head":
+            dll.append(v)
+        elif head == "encoder":
+            ell.append(v[-1])  # last layer's slice of the stacked leaf
+    return {
+        "grad_norm": _sqrt_sum(total),
+        "grad_efl": _sqrt_sum(efl),
+        "grad_ell": _sqrt_sum(ell),
+        "grad_dll": _sqrt_sum(dll),
+    }
+
+
+def jepa_grad_metrics(grads: Any) -> dict[str, jnp.ndarray]:
+    """grad_norm + first/last qkv-layer norms
+    (``predictive/loggingtools.py:98-112``), one pass."""
+    ssqs = _leaf_sumsqs(grads, lambda p: "blocks" in p)
+    total = [v for _, v in ssqs]
+    fl = ll = jnp.zeros((), jnp.float32)
+    for p, v in ssqs:
+        if p == "encoder/blocks/attn/qkv/kernel":
+            fl, ll = jnp.sqrt(v[0]), jnp.sqrt(v[-1])
+    return {"grad_norm": _sqrt_sum(total), "grad_fl": fl, "grad_ll": ll}
+
+
+def simclr_grad_metrics(grads: Any) -> dict[str, jnp.ndarray]:
+    """grad_norm + conv1/fc.0 norms
+    (``contrastive/loggingtools.py:98-114``), one pass."""
+    ssqs = _leaf_sumsqs(grads, lambda p: False)
+    total = [v for _, v in ssqs]
+    conv1 = [v for p, v in ssqs if p.startswith("stem/conv")]
+    fc0 = [v for p, v in ssqs if p.startswith("head/fc1")]
+    return {
+        "grad_norm": _sqrt_sum(total),
+        "grad_conv1": _sqrt_sum(conv1),
+        "grad_fc0": _sqrt_sum(fc0),
+    }
+
+
 def full_grad_probes(family: str) -> dict[str, Callable[[Any], jnp.ndarray]]:
     """The opt-in fuller stats table for one model family.
 

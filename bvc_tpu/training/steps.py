@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bvc_tpu.masks.tube import random_mask, tube_mask
 from bvc_tpu.models import videomae
 from bvc_tpu.parallel.sharding import batch_sharding, param_shardings
+from bvc_tpu.training.optim import apply_gradients
 from bvc_tpu.training.state import TrainState
 from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
 
@@ -99,12 +100,13 @@ def make_videomae_train_step(
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = apply_gradients(tx, grads, state.opt_state, state.params)
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        # device-side per-layer gradient probes (reference grad_logger,
-        # generative/loggingtools.py:98-119, computed on host there)
+        # grad_norm + EFL/ELL/DLL from one fused pass over the gradients
+        # (reference grad_logger, generative/loggingtools.py:98-119)
+        from bvc_tpu.training.probes import videomae_grad_metrics
+
+        metrics.update(videomae_grad_metrics(grads))
         for name, fn in (grad_probes or {}).items():
             metrics[name] = fn(grads)
         return (
@@ -194,8 +196,7 @@ def make_jepa_train_step(
             return jnp.sum(per) / denom
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = apply_gradients(tx, grads, state.opt_state, state.params)
 
         # EMA coefficient: uncapped linear ramp while the reference's
         # generator still has elements (total_steps+5 of them), then the
@@ -208,12 +209,13 @@ def make_jepa_train_step(
             state.target_params,
             params["encoder"],
         )
-        qkv = grads["encoder"]["blocks"]["attn"]["qkv"]["kernel"]
+        from bvc_tpu.training.probes import jepa_grad_metrics
+
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "grad_fl": jnp.linalg.norm(qkv[0].astype(jnp.float32)),
-            "grad_ll": jnp.linalg.norm(qkv[-1].astype(jnp.float32)),
+            # grad_norm + first/last-qkv norms, one fused pass
+            # (predictive/loggingtools.py:98-112)
+            **jepa_grad_metrics(grads),
             "mask_a": jnp.sum(enc_idx[0] >= 0),
             "mask_b": jnp.sum(pred_idx[0, 0] >= 0),
             "ema_m": m,
@@ -319,15 +321,12 @@ def make_simclr_train_step(
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            # conv1 / fc.0 probes (contrastive/loggingtools.py:103-110)
-            "grad_conv1": optax.global_norm(grads["stem"]["conv"]),
-            "grad_fc0": optax.global_norm(grads["head"]["fc1"]),
-        }
+        params, opt_state = apply_gradients(tx, grads, state.opt_state, state.params)
+        from bvc_tpu.training.probes import simclr_grad_metrics
+
+        # grad_norm + conv1/fc.0 probes, one fused pass
+        # (contrastive/loggingtools.py:103-110)
+        metrics = {"loss": loss, **simclr_grad_metrics(grads)}
         for name, fn in (grad_probes or {}).items():
             metrics[name] = fn(grads)
         return (
@@ -419,6 +418,22 @@ def place_state(state: TrainState, mesh: Mesh, param_mode: str = "replicated") -
     state, and ``device_put`` aliases arrays whose sharding already
     matches — without the copy, the caller's original arrays would be
     invalidated by the first step.
+
+    Multi-process meshes: ``device_put`` refuses shardings with
+    non-addressable devices (anything but fully-replicated), so each
+    leaf is built from the host copy via ``make_array_from_callback`` —
+    every process materialises only its addressable shards.
     """
-    placed = jax.device_put(state, _tree_shardings(state, mesh, param_mode))
+    shardings = _tree_shardings(state, mesh, param_mode)
+    if jax.process_count() > 1:
+        import numpy as _np
+
+        def put(x, sh):
+            arr = _np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx, a=arr: a[idx]
+            )
+
+        return jax.tree_util.tree_map(put, state, shardings)
+    placed = jax.device_put(state, shardings)
     return jax.tree_util.tree_map(jnp.copy, placed)

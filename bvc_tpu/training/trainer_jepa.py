@@ -208,10 +208,11 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         save_checkpoint(
             checkpoint_path(folder, cfg.run_id),
             {
-                "encoder": jax.device_get(state.params["encoder"]),
-                "predictor": jax.device_get(state.params["predictor"]),
-                "target_encoder": jax.device_get(state.target_params),
-                "opt": jax.device_get(state.opt_state),
+                # raw arrays: save_checkpoint handles sharded multi-host state
+                "encoder": state.params["encoder"],
+                "predictor": state.params["predictor"],
+                "target_encoder": state.target_params,
+                "opt": state.opt_state,
                 "epoch": np.int32(epoch_done),
                 "step": np.asarray(jax.device_get(state.step)),
                 "rng": np.asarray(jax.device_get(state.rng)),

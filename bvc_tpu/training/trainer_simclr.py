@@ -130,9 +130,10 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         save_checkpoint(
             checkpoint_path(folder, cfg.run_id),
             {
-                "model_state_dict": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.extra),
-                "opt": jax.device_get(state.opt_state),
+                # raw arrays: save_checkpoint handles sharded multi-host state
+                "model_state_dict": state.params,
+                "batch_stats": state.extra,
+                "opt": state.opt_state,
                 "epoch": np.int32(epoch_done),
                 "step": np.asarray(jax.device_get(state.step)),
                 "rng": np.asarray(jax.device_get(state.rng)),

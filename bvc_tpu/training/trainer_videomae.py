@@ -33,16 +33,10 @@ from bvc_tpu.utils import AverageMeter, CSVLogger, TrainConfig
 from bvc_tpu.utils.logging import get_logger, is_main_process
 
 
-GRAD_PROBES = {
-    # encoder-first-layer / encoder-last-layer / decoder-last-layer norms,
-    # the generative CSV's grad-EFL/ELL/DLL columns
-    # (pretrain_videomae.py:148-150)
-    "grad_efl": lambda g: optax.global_norm(g["patch_embed"]),
-    "grad_ell": lambda g: optax.global_norm(
-        jax.tree_util.tree_map(lambda x: x[-1], g["encoder"])
-    ),
-    "grad_dll": lambda g: optax.global_norm(g["decoder_head"]),
-}
+# The grad-EFL/ELL/DLL columns (pretrain_videomae.py:148-150) are now
+# computed inside the step via the fused one-pass metrics
+# (bvc_tpu.training.probes.videomae_grad_metrics); extra probes passed
+# here are for the opt-in stats table only.
 
 
 def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
@@ -108,7 +102,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 "val_loss": meta.get("val_loss", 0.0),
             }
     state = place_state(state, mesh, cfg.param_sharding)
-    probes = dict(GRAD_PROBES)
+    probes = {}
     if cfg.log_grad_stats:
         from bvc_tpu.training.probes import full_grad_probes
 
@@ -149,8 +143,10 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         save_checkpoint(
             checkpoint_path(folder, cfg.run_id),
             {
-                "model_state_dict": jax.device_get(state.params),
-                "opt": jax.device_get(state.opt_state),
+                # raw (possibly non-addressable) arrays: save_checkpoint gathers
+                # or runs an all-host distributed save as needed
+                "model_state_dict": state.params,
+                "opt": state.opt_state,
                 "epoch": np.int32(epoch_done),
                 "step": np.asarray(jax.device_get(state.step)),
                 "rng": np.asarray(jax.device_get(state.rng)),

@@ -95,6 +95,51 @@ with mesh:
         losses.append(float(np.asarray(metrics["loss"].addressable_data(0))))
 out["step_losses"] = losses
 
+# FSDP-sharded save -> restore -> resume cycle (VERDICT r2 #4): host 0
+# alone cannot materialise non-addressable shards, so save_checkpoint
+# must run an all-host distributed save; the restored state must resume
+# to the exact same loss as the uninterrupted run
+from bvc_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+state_f = place_state(TrainState.create(params, tx, jax.random.PRNGKey(1)),
+                      mesh, "fsdp")
+step_f = make_videomae_train_step(mesh, cfg, MaskConfig(mask_ratio=0.75), tx,
+                                  "fsdp")
+with mesh:
+    state_f, _ = step_f(state_f, batch)
+out["fsdp_nonaddressable"] = any(
+    isinstance(x, jax.Array) and not x.is_fully_addressable
+    for x in jax.tree_util.tree_leaves(state_f.params)
+)
+ck = os.path.join(os.getcwd(), "model_fsdp_test.ckpt")
+save_checkpoint(ck, {"model_state_dict": state_f.params,
+                     "opt": state_f.opt_state,
+                     "step": np.asarray(jax.device_get(state_f.step)),
+                     "rng": np.asarray(jax.device_get(state_f.rng))},
+                meta={"run_id": "fsdp_test"})
+out["ckpt_meta_exists"] = os.path.exists(os.path.join(ck, "meta.json"))
+saved_step = int(np.asarray(jax.device_get(state_f.step)))
+saved_rng = np.asarray(jax.device_get(state_f.rng))
+# uninterrupted continuation (donates state_f — already on disk)
+with mesh:
+    _, m_cont = step_f(state_f, batch)
+    out["loss_cont"] = float(np.asarray(m_cont["loss"].addressable_data(0)))
+# restore on every host, re-place with FSDP shardings, resume
+fresh = TrainState.create(videomae.init_params(jax.random.PRNGKey(2), cfg),
+                          tx, jax.random.PRNGKey(3))
+restored = load_checkpoint(ck, like={
+    "model_state_dict": fresh.params, "opt": fresh.opt_state,
+    "step": np.zeros((), np.int32), "rng": saved_rng * 0,
+})
+state_r = place_state(
+    TrainState.create(restored["model_state_dict"], tx,
+                      jax.numpy.asarray(restored["rng"])).replace(
+        opt_state=restored["opt"],
+        step=jax.numpy.asarray(int(restored["step"]), jax.numpy.int32)),
+    mesh, "fsdp")
+with mesh:
+    _, m_res = step_f(state_r, batch)
+    out["loss_resumed"] = float(np.asarray(m_res["loss"].addressable_data(0)))
+
 sync_hosts("test-barrier")
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -157,3 +202,13 @@ def test_two_process_collectives(tmp_path):
     assert l0 == l1
     assert all(x == x and abs(x) < 1e6 for x in l0)  # finite
     assert l0[1] != l0[0]  # params actually updated
+
+    # FSDP checkpoint cycle: the saved state really had non-addressable
+    # shards (host-0-only np.asarray would have thrown), the save
+    # completed (meta written post-swap), and the restored state resumed
+    # to the exact same loss as the uninterrupted run on both hosts
+    for o in outs:
+        assert o["fsdp_nonaddressable"] is True
+        assert o["ckpt_meta_exists"] is True
+        assert o["loss_resumed"] == pytest.approx(o["loss_cont"], abs=1e-6)
+    assert by_rank[0]["loss_cont"] == by_rank[1]["loss_cont"]

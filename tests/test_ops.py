@@ -102,6 +102,20 @@ class TestAttention:
         attn.multi_head_attention(q, k, v, impl="xla_bf16")
         assert not called
 
+    def test_masked_auto_routes_by_score_memory(self):
+        # VERDICT r2 #3: masked 'auto' stays on XLA while the f32 score
+        # tensor fits (XLA's fused bwd is faster), but routes to the
+        # key-bias flash kernels once it would exceed the HBM budget —
+        # the bs-128 JEPA predictor case that OOMed
+        from bvc_tpu.ops.attention import masked_auto_impl
+
+        # off-TPU always XLA
+        assert masked_auto_impl(512, 12, 209, 209, on_tpu=False) == "xla"
+        # bs-64 predictor: [256, 12, 209, 209] ≈ 536 MB → XLA
+        assert masked_auto_impl(256, 12, 209, 209, on_tpu=True) == "xla"
+        # bs-128 predictor: ≈ 1.07 GiB → flash
+        assert masked_auto_impl(512, 12, 209, 209, on_tpu=True) == "flash"
+
     def test_xla_bf16_respects_key_mask(self):
         q, k, v = self._qkv(N=16)
         mask = np.ones((2, 16), bool)

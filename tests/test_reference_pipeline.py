@@ -1,0 +1,375 @@
+"""Close the fidelity loop THROUGH THE REFERENCE'S OWN CODE (VERDICT r2 #1).
+
+For each family: export one of our checkpoints to ``model_*.pth.tar``,
+then — in a subprocess that imports the reference modules by path — load
+it with the reference's actual consumers:
+
+- videomae: the trainer-side ``init_model_from_checkpoint``
+  (``pretraining/generative/pretrain_videomae.py:164-167``) for a
+  pretraining loss, and the extraction-side ``get_model`` weight-copy
+  adaptation (``benchmarks/compute_embeddings_videomae.py:78-96``,
+  asserting its own verification warning stays silent) for embeddings;
+- jepa: ``benchmarks/compute_embeddings_jepa.py`` ``get_model`` →
+  ``helper.load_checkpoint`` (loads the ONLINE encoder);
+- simclr: ``benchmarks/compute_embeddings_simclr.py`` ``get_model``
+  (strict ``load_state_dict`` incl. BN buffers, then ``fc=Identity``).
+
+The reference outputs are then diffed against our ``embed`` /
+``pretrain_loss`` and against the embeddings CSV we write — the
+BASELINE.json "bit-compatible embeddings" target, proven end-to-end.
+
+Subprocesses keep the reference's import-time side effects (env vars,
+sys.path stuffing) and its module-name collisions out of this process.
+
+torchvision is NOT installed in this environment, so the workers install
+an import-surface stub before touching reference modules: empty
+``transforms``/``io``/``datasets`` submodules (the reference only touches
+their attributes inside functions this test never calls) plus a faithful
+torch reimplementation of ``models.resnet18`` with torchvision's exact
+module naming — required so the SimCLR leg's strict ``load_state_dict``
+(``compute_embeddings_simclr.py:67-71``) really validates our export's
+key/shape contract.  Everything else executed is the reference's own
+code.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from bvc_tpu.training.checkpoint import save_checkpoint
+from bvc_tpu.utils.config import ModelConfig
+
+_REF = Path("/root/reference")
+_REPO = Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.skipif(not _REF.exists(), reason="reference tree absent")
+
+
+def _run_worker(code: str, payload: dict, tmp_path: Path) -> dict:
+    cfg_path = tmp_path / "worker_cfg.json"
+    out_path = tmp_path / "worker_out.json"
+    payload = dict(payload, out_json=str(out_path))
+    cfg_path.write_text(json.dumps(payload))
+    res = subprocess.run(
+        [sys.executable, "-c", code, str(cfg_path)],
+        capture_output=True, text=True, timeout=1200, cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    return json.loads(out_path.read_text())
+
+
+_TV_STUB = r"""
+import sys, types
+import torch
+import torch.nn as nn
+
+
+def _mod(name):
+    import importlib.machinery
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
+
+def _install_torchvision_stub():
+    if "torchvision" in sys.modules:
+        return
+    tv = _mod("torchvision")
+    tr_mod = _mod("torchvision.transforms")
+    io_mod = _mod("torchvision.io")
+    ds_mod = _mod("torchvision.datasets")
+    ucf_mod = _mod("torchvision.datasets.ucf101")
+
+    class _UCF101(torch.utils.data.Dataset):
+        def __init__(self, *a, **k):
+            raise NotImplementedError("torchvision stub")
+
+    ucf_mod.UCF101 = _UCF101
+    ds_mod.ucf101 = ucf_mod
+    ds_mod.UCF101 = _UCF101
+    models_mod = _mod("torchvision.models")
+
+    class BasicBlock(nn.Module):
+        def __init__(self, inp, out, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inp, out, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(out)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(out, out, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(out)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                idt = self.downsample(x)
+            return self.relu(out + idt)
+
+    class ResNet(nn.Module):
+        def __init__(self, layers, num_classes=1000):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(64, layers[0], 1)
+            self.layer2 = self._make_layer(128, layers[1], 2)
+            self.layer3 = self._make_layer(256, layers[2], 2)
+            self.layer4 = self._make_layer(512, layers[3], 2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512, num_classes)
+
+        def _make_layer(self, planes, blocks, stride):
+            downsample = None
+            if stride != 1 or self.inplanes != planes:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes))
+            layers = [BasicBlock(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes
+            for _ in range(1, blocks):
+                layers.append(BasicBlock(planes, planes))
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = self.avgpool(x).flatten(1)
+            return self.fc(x)
+
+    models_mod.resnet18 = lambda **kw: ResNet([2, 2, 2, 2])
+    tv.transforms = tr_mod
+    tv.io = io_mod
+    tv.datasets = ds_mod
+    tv.models = models_mod
+    sys.modules.update({
+        "torchvision": tv, "torchvision.transforms": tr_mod,
+        "torchvision.io": io_mod, "torchvision.datasets": ds_mod,
+        "torchvision.datasets.ucf101": ucf_mod,
+        "torchvision.models": models_mod,
+    })
+
+
+_install_torchvision_stub()
+"""
+
+_VIDEOMAE_WORKER = _TV_STUB + r"""
+import json, sys, warnings
+import numpy as np
+cfg = json.load(open(sys.argv[1]))
+import torch, transformers, argparse
+torch.set_grad_enabled(False)
+sys.path.insert(0, "/root/reference/pretraining/generative")
+import pretrain_videomae as pv                      # the reference trainer module
+args = argparse.Namespace(architecture="base", num_frames=16, tubelet_size=2)
+model = transformers.VideoMAEForPreTraining(pv.get_config(224, args))
+model = pv.init_model_from_checkpoint(model, cfg["ckpt"])   # trainer-side loader
+video = np.load(cfg["video"])                       # [B,16,224,224,3] f32
+pix = torch.from_numpy(video).permute(0, 1, 4, 2, 3)
+mask = torch.from_numpy(np.load(cfg["mask"]).astype(bool))
+model.eval()
+out = model(pixel_values=pix, bool_masked_pos=mask)
+res = {"loss": float(out.loss)}
+
+# extraction-side weight-copy adaptation + its own verification warning
+sys.path.insert(0, "/root/reference/benchmarks")
+for m in ("ddputils", "loggingtools", "homeview", "mask", "controls",
+          "dsdatasets", "helper", "tensors", "vision_transformer"):
+    sys.modules.pop(m, None)
+import compute_embeddings_videomae as ce
+with warnings.catch_warnings(record=True) as w:
+    warnings.simplefilter("always")
+    model_t = ce.get_model(224, 0, True, cfg["ckpt"], args)
+bad = [str(x.message) for x in w if "not successfully initialized" in str(x.message)]
+res["init_warnings"] = bad
+model_t.eval()
+emb = model_t(pixel_values=pix).logits              # pooled 768-d (num_labels=0)
+res["embeddings"] = emb.numpy().tolist()
+json.dump(res, open(cfg["out_json"], "w"))
+"""
+
+_JEPA_WORKER = _TV_STUB + r"""
+import json, sys
+import numpy as np
+cfg = json.load(open(sys.argv[1]))
+import torch, argparse
+torch.set_grad_enabled(False)
+sys.path.insert(0, "/root/reference/benchmarks")
+import compute_embeddings_jepa as cj
+args = argparse.Namespace(num_frames=2, tubelet_size=1,
+                          init_checkpoint_path=cfg["ckpt"])
+enc = cj.get_model(args)
+# helper.load_checkpoint swallows exceptions (helper.py:62-64): prove the
+# weights really loaded by comparing one tensor to the file
+sd = torch.load(cfg["ckpt"], weights_only=False)
+ref_w = sd["encoder"]["patch_embed.proj.weight"]
+assert torch.allclose(enc.patch_embed.proj.weight, ref_w), "silent load failure"
+video = np.load(cfg["video"])                       # [B,2,224,224,3]
+x = torch.from_numpy(video).permute(0, 1, 4, 2, 3)  # [B,T,C,H,W] (PatchEmbed.forward permutes internally, vision_transformer.py:258-261)
+enc.eval()
+feats = enc(x)
+emb = feats.mean(1)                                 # compute_embeddings_jepa.py:242
+json.dump({"embeddings": emb.numpy().tolist()}, open(cfg["out_json"], "w"))
+"""
+
+_SIMCLR_WORKER = _TV_STUB + r"""
+import json, sys
+import numpy as np
+cfg = json.load(open(sys.argv[1]))
+import torch, argparse
+torch.set_grad_enabled(False)
+sys.path.insert(0, "/root/reference/benchmarks")
+import compute_embeddings_simclr as cs
+args = argparse.Namespace(architecture="resnet18", pred_emb_dim=cfg["pred_emb_dim"],
+                          init_checkpoint_path=cfg["ckpt"])
+enc = cs.get_model(args)                            # strict load + fc=Identity
+video = np.load(cfg["video"])                       # [B,T,H,W,3]
+x = torch.from_numpy(video[:, -1]).permute(0, 3, 1, 2)   # last frame (:227)
+enc.eval()
+feats = enc(x)
+json.dump({"embeddings": feats.numpy().tolist()}, open(cfg["out_json"], "w"))
+"""
+
+
+def _export(tmp_path, family, ckpt_tree, meta, **export_args):
+    from bvc_tpu.cli.export_torch import export
+
+    ck = tmp_path / f"model_ref_{family}.ckpt"
+    save_checkpoint(ck, ckpt_tree, meta=meta)
+    ns = SimpleNamespace(
+        checkpoint_path=str(ck), out=str(tmp_path / f"model_ref_{family}.pth.tar"),
+        family=family, architecture=export_args.pop("architecture", "base"),
+        image_size=224, num_frames=export_args.pop("num_frames", 16),
+        tubelet_size=export_args.pop("tubelet_size", 2),
+        pred_emb_dim=export_args.pop("pred_emb_dim", 384),
+    )
+    return export(ns)
+
+
+@pytest.mark.slow
+class TestVideomaeReferencePipeline:
+    def test_checkpoint_loss_and_embeddings_through_reference(self, tmp_path):
+        from bvc_tpu.masks.tube import tube_mask
+        from bvc_tpu.models import videomae
+
+        cfg = ModelConfig(family="videomae", architecture="base",
+                          layer_norm_eps=1e-12, dtype="float32")
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        pth = _export(tmp_path, "videomae",
+                      {"model_state_dict": jax.device_get(params)},
+                      {"epoch": 1, "train_loss": 0.5})
+
+        rng = np.random.default_rng(0)
+        video = rng.standard_normal((2, 16, 224, 224, 3)).astype(np.float32)
+        mask = np.asarray(tube_mask(jax.random.PRNGKey(1), 2,
+                                    grid=(8, 14, 14), mask_ratio=0.9))
+        np.save(tmp_path / "video.npy", video)
+        np.save(tmp_path / "mask.npy", mask)
+
+        ref = _run_worker(_VIDEOMAE_WORKER,
+                          {"ckpt": pth, "video": str(tmp_path / "video.npy"),
+                           "mask": str(tmp_path / "mask.npy")}, tmp_path)
+        # (1) the extraction-side weight-copy verification stayed silent
+        assert ref["init_warnings"] == []
+
+        # (2) pretraining loss through the trainer-side loader
+        num_visible = cfg.seq_len - int(0.9 * 196) * 8
+        ours_loss, _ = videomae.pretrain_loss(
+            params, jnp.asarray(video), jnp.asarray(mask), cfg, num_visible
+        )
+        assert float(ours_loss) == pytest.approx(ref["loss"], rel=2e-3, abs=2e-4)
+
+        # (3) pooled embeddings vs our embed()
+        ref_emb = np.asarray(ref["embeddings"], np.float32)
+        ours_emb = np.asarray(videomae.embed(params, jnp.asarray(video), cfg))
+        np.testing.assert_allclose(ours_emb, ref_emb, rtol=2e-3, atol=5e-4)
+
+        # (4) the CSV we write carries the same rows the reference model
+        # produces (row-for-row after the sort/dedupe contract)
+        from bvc_tpu.evalbench.extract import save_results
+
+        fnames = ["clip_b.mp4", "clip_a.mp4"]
+        csv = save_results(fnames, ours_emb, "train", "ref_videomae", str(tmp_path))
+        df = pd.read_csv(csv)
+        assert list(df["fnames"]) == ["clip_a.mp4", "clip_b.mp4"]
+        got = df[[f"dim{i}" for i in range(ref_emb.shape[1])]].to_numpy(np.float32)
+        np.testing.assert_allclose(got, ref_emb[[1, 0]], rtol=2e-3, atol=6e-4)
+
+
+@pytest.mark.slow
+class TestJepaReferencePipeline:
+    def test_online_encoder_embeddings_through_reference(self, tmp_path):
+        from bvc_tpu.models import jepa
+
+        cfg = ModelConfig(family="jepa", architecture="vit_base",
+                          num_frames=2, tubelet_size=1, dtype="float32")
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+        # make target != encoder so the test catches loading the wrong one
+        # (the reference extracts the ONLINE encoder)
+        target = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) + 0.05, params["encoder"]
+        )
+        pth = _export(
+            tmp_path, "jepa",
+            {"encoder": jax.device_get(params["encoder"]),
+             "predictor": jax.device_get(params["predictor"]),
+             "target_encoder": target},
+            {"epoch": 1, "loss": 0.5},
+            num_frames=2, tubelet_size=1,
+        )
+
+        rng = np.random.default_rng(1)
+        video = rng.standard_normal((2, 2, 224, 224, 3)).astype(np.float32)
+        np.save(tmp_path / "video.npy", video)
+        ref = _run_worker(_JEPA_WORKER,
+                          {"ckpt": pth, "video": str(tmp_path / "video.npy")},
+                          tmp_path)
+        ref_emb = np.asarray(ref["embeddings"], np.float32)
+        ours = np.asarray(jepa.embed(params["encoder"], jnp.asarray(video), cfg))
+        np.testing.assert_allclose(ours, ref_emb, rtol=2e-3, atol=5e-4)
+
+        # our extraction loads the same (online) encoder from the ckpt
+        from bvc_tpu.evalbench.extract import make_embed_fn
+
+        fn = make_embed_fn("jepa", str(tmp_path / "model_ref_jepa.ckpt"), cfg)
+        ours_ck = np.asarray(fn(video))
+        np.testing.assert_allclose(ours_ck, ref_emb, rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+class TestSimclrReferencePipeline:
+    def test_backbone_embeddings_through_reference(self, tmp_path):
+        from bvc_tpu.models import resnet
+
+        head_dim = 512
+        params, stats = resnet.init_params(jax.random.PRNGKey(0), "resnet18",
+                                           head_dim=head_dim)
+        pth = _export(
+            tmp_path, "simclr",
+            {"model_state_dict": jax.device_get(params),
+             "batch_stats": jax.device_get(stats)},
+            {"epoch": 1, "train_loss": 0.5},
+            architecture="resnet18", pred_emb_dim=head_dim,
+        )
+        rng = np.random.default_rng(2)
+        video = rng.standard_normal((2, 2, 64, 64, 3)).astype(np.float32)
+        np.save(tmp_path / "video.npy", video)
+        ref = _run_worker(_SIMCLR_WORKER,
+                          {"ckpt": pth, "video": str(tmp_path / "video.npy"),
+                           "pred_emb_dim": head_dim}, tmp_path)
+        ref_emb = np.asarray(ref["embeddings"], np.float32)
+        feats, _ = resnet.apply(params, stats, jnp.asarray(video[:, -1]),
+                                "resnet18", training=False, with_head=False)
+        np.testing.assert_allclose(np.asarray(feats), ref_emb,
+                                   rtol=2e-3, atol=5e-4)
