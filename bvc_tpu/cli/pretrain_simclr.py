@@ -20,6 +20,13 @@ def build_parser():
     p.add_argument("--pred_emb_dim", type=int, default=512)
     p.add_argument("--interval", type=int, default=900)
     p.add_argument("--augs", type=str, default="cjo")
+    p.add_argument("--negatives", type=str, default="global",
+                   choices=["global", "per_replica"],
+                   help="per_replica = the reference's per-rank loss "
+                        "(shard_map block formulation)")
+    p.add_argument("--bn_stats", type=str, default="global",
+                   choices=["global", "per_replica"],
+                   help="per_replica = reference DDP per-rank BatchNorm")
     p.add_argument("--save_every_epoch", type=str, default="n")
     p.add_argument("--resume", type=str, default="n",
                    help="y: pick up from this run's own checkpoint if present")
@@ -34,6 +41,8 @@ def config_from_args(args):
     cfg.data.interval = args.interval
     cfg.data.augs = args.augs
     cfg.data.num_frames = 2
+    cfg.optim.contrastive_negatives = args.negatives
+    cfg.optim.bn_stats = args.bn_stats
     if not cfg.run_id:
         cfg.run_id = f"na_1_{args.train_group}_{args.condition}_{args.fold}_{args.seed}"
     return cfg

@@ -173,6 +173,7 @@ def predictor_forward(
     pred_idx: jnp.ndarray,
     cfg: ModelConfig,
     rng: jnp.ndarray | None = None,
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """Predict target-position features from context features.
 
@@ -203,7 +204,7 @@ def predictor_forward(
     key_mask = jnp.concatenate([enc_valid, pred_valid], axis=1)
     full = run_blocks(
         pred_params["blocks"], full, cfg.num_heads, cfg.layer_norm_eps,
-        cfg.remat, key_mask=key_mask,
+        cfg.remat, attn_impl=attn_impl, key_mask=key_mask,
         drop_path_rates=_dpr(cfg, rng, cfg.pred_depth), rng=rng,
         unroll=cfg.pred_depth <= 12,
     )

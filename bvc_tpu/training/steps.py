@@ -183,13 +183,18 @@ def make_jepa_train_step(
             jepa.target_features(state.target_params, video, pred_idx, model_cfg)
         )
         valid = (pred_idx >= 0).astype(jnp.float32)[..., None]  # [M,B,Kp,1]
+        # opt-in autocast-parity bf16 logits on the gradient paths
+        # (the reference's whole forward runs under autocast-bf16)
+        grad_impl = "xla_bf16" if model_cfg.autocast_scores else "auto"
 
         def loss_fn(params):
             z = jepa.encoder_forward(
-                params["encoder"], video, model_cfg, enc_idx, rng=dpe
+                params["encoder"], video, model_cfg, enc_idx, rng=dpe,
+                attn_impl=grad_impl,
             )
             preds = jepa.predictor_forward(
-                params["predictor"], z, enc_idx, pred_idx, model_cfg, rng=dpp
+                params["predictor"], z, enc_idx, pred_idx, model_cfg, rng=dpp,
+                attn_impl=grad_impl,
             )
             per = smooth_l1(preds, targets) * valid
             denom = jnp.maximum(jnp.sum(valid), 1.0) * preds.shape[-1]

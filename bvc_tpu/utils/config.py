@@ -178,6 +178,15 @@ class ModelConfig:
     # autocast-bf16 (pretrain_jepa.py:405-409), which quantizes its qk
     # logits at the same point; False keeps full-f32 logits.
     target_score_bf16: bool = True
+    # bf16-stored attention logits on the JEPA GRADIENT paths too
+    # (context encoder + predictor).  The reference's entire forward
+    # runs under torch autocast-bf16 (pretrain_jepa.py:405-409), so its
+    # context/predictor scores — and the grads flowing through them —
+    # are bf16-quantized at exactly this point.  Measured on v5e at
+    # bs 64: 230.0 → 247.1 clips/s with the step-20 loss identical to
+    # 5 decimals (tools/probe_r3.py jepa_ac).  False restores full-f32
+    # gradient-path scores (pre-round-3 numerics).
+    autocast_scores: bool = True
 
     @property
     def tokens_per_frame(self) -> int:

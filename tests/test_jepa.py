@@ -220,6 +220,29 @@ class TestJepaTrainStep:
         assert float(m0["ema_m"]) == pytest.approx(0.996, abs=1e-6)
         assert float(m1["ema_m"]) > float(m0["ema_m"])
 
+    def test_autocast_scores_modes_agree(self):
+        # bf16 logits on the gradient paths (reference full-autocast
+        # quantization point, the round-3 default): trains with a finite
+        # loss close to the f32-scores fallback
+        import copy
+
+        losses = {}
+        for ac in (True, False):
+            mesh = make_mesh()
+            cfg = jepa_cfg()
+            cfg.autocast_scores = ac
+            tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+            params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+            state = place_state(
+                TrainState.create(params, tx, jax.random.PRNGKey(1),
+                                  target_params=copy.deepcopy(params["encoder"])),
+                mesh)
+            step = make_jepa_train_step(mesh, cfg, tx, total_steps=100)
+            _, metrics = step(state, self._batch(mesh))
+            losses[ac] = float(metrics["loss"])
+        assert np.isfinite(list(losses.values())).all()
+        assert losses[True] == pytest.approx(losses[False], rel=0.02, abs=1e-3)
+
 
 class TestJepaTrainerEndToEnd:
     def test_stage_and_chaining(self, frame_corpus, tmp_path):

@@ -26,10 +26,11 @@ from _benchlib import BASELINE_CLIPS_PER_SEC_PER_ACCEL, ladder  # noqa: E402
 
 
 def bench_jepa(per_device_batches=(64, 32)):
-    # 128/chip OOMs at compile on v5e-16G (the predictor's f32 [MB,12,
-    # 209,209] scores across remat copies, 18.3G — PERFORMANCE.md), so
-    # the ladder starts at the known-max 64 instead of paying the
-    # multi-minute failing compile every run.
+    # bs 64 is the measured-fastest rung.  128/chip now routes its masked
+    # attention to the key-bias flash kernels (no f32 [MB,12,209,209]
+    # score tensors — ops/attention.py masked_auto_impl), but this dev
+    # box's remote compile helper rejects programs that size (HTTP 500,
+    # PERFORMANCE.md round-3), so the ladder still starts at 64.
     import copy
 
     import jax

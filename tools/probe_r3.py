@@ -90,6 +90,51 @@ def videomae_probe():
     return results
 
 
+def jepa_autocast_probe():
+    """A/B: autocast_scores (bf16 logits on the gradient paths, the
+    reference's full-autocast quantization point) vs the f32 default,
+    same process, bs 64."""
+    from bvc_tpu.masks.multiblock import MultiBlockMaskCollator, update_mask_indices
+    from bvc_tpu.models import jepa
+    from bvc_tpu.parallel import make_mesh, shard_batch
+    from bvc_tpu.training.optim import make_optimizer
+    from bvc_tpu.training.state import TrainState
+    from bvc_tpu.training.steps import make_jepa_train_step, place_state
+    from bvc_tpu.utils.config import ModelConfig, OptimConfig
+
+    mesh = make_mesh()
+    tx = make_optimizer(OptimConfig(name="sgd", lr=0.03, momentum=0.9))
+    for ac in (False, True):
+        cfg = ModelConfig(family="jepa", num_frames=2, tubelet_size=1,
+                          autocast_scores=ac)
+        collator = MultiBlockMaskCollator(
+            input_size=cfg.image_size, patch_size=cfg.patch_size,
+            enc_mask_scale=(0.85, 1.0), pred_mask_scale=(0.1, 0.2),
+            nenc=1, npred=4, seed=0)
+        params = jepa.init_params(jax.random.PRNGKey(0), cfg)
+        B = 64 * mesh.devices.size
+        video = np.random.default_rng(0).integers(
+            0, 255, (B, 2, 224, 224, 3), dtype=np.uint8)
+        enc_idx, pred_idx = collator(B, step=0)
+        enc_idx = update_mask_indices(enc_idx, cfg.image_size, cfg.patch_size,
+                                      cfg.num_frames, cfg.tubelet_size, True)
+        pred_idx = update_mask_indices(pred_idx, cfg.image_size, cfg.patch_size,
+                                       cfg.num_frames, cfg.tubelet_size, False)
+        batch = {"video": video, "enc_idx": enc_idx[0],
+                 "pred_idx": pred_idx.transpose(1, 0, 2)}
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1),
+                              target_params=copy.deepcopy(params["encoder"])),
+            mesh)
+        step = make_jepa_train_step(mesh, cfg, tx, total_steps=10000)
+        sec, loss = _measure(step, state, shard_batch(batch, mesh))
+        cps = B / sec / mesh.devices.size
+        print(json.dumps({"probe": f"jepa_bs64_autocast_{ac}",
+                          "clips_per_sec_chip": round(cps, 2),
+                          "ms_per_step": round(sec * 1e3, 2),
+                          "loss": round(loss, 5)}), flush=True)
+
+
 def jepa_probe():
     from bvc_tpu.masks.multiblock import MultiBlockMaskCollator, update_mask_indices
     from bvc_tpu.models import jepa
@@ -348,6 +393,36 @@ def flash128_probe():
             print(json.dumps({"probe": name, "error": str(e)[:200]}), flush=True)
 
 
+def flashtune_probe():
+    """Flash block-size sweep at the DECODER shape at bs 48 (the r2
+    defaults 784/784 were tuned at bs 32)."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo/tools")
+    from _benchlib import timed
+
+    from bvc_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((48, 1568, 6, 64)).astype(np.float32)).astype(jnp.bfloat16)
+
+    for bq, bbq, bbk in [(784, 784, 784), (392, 784, 784), (784, 392, 392),
+                         (784, 1568, 784), (224, 784, 784), (784, 784, 392)]:
+        def vg(p, x, bq=bq, bbq=bbq, bbk=bbk):
+            return jax.value_and_grad(
+                lambda v: jnp.sum(flash_attention(
+                    v, v, v, block_q=bq, bwd_block_q=bbq, bwd_block_k=bbk)
+                    .astype(jnp.float32)))(x)
+
+        try:
+            ms = timed(vg, None, q)
+            print(json.dumps({"probe": f"flashtune_q{bq}_bq{bbq}_bk{bbk}",
+                              "ms": round(ms, 2)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"probe": f"flashtune_q{bq}_bq{bbq}_bk{bbk}",
+                              "error": str(e)[:150]}), flush=True)
+
+
 def main():
     from bvc_tpu.utils.runtime import setup_runtime
 
@@ -371,6 +446,10 @@ def main():
         _guard(flash128_probe)
     if which == "r3c":
         _guard(jepa128_probe)
+    if which == "flashtune":
+        _guard(flashtune_probe)
+    if which == "jepa_ac":
+        _guard(jepa_autocast_probe)
 
 
 def _guard(fn):
