@@ -104,6 +104,10 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     step = make_simclr_train_step(
         mesh, arch, tx, TEMPERATURE, loss_mode="parity",
         param_mode=cfg.param_sharding,
+        # bf16 compute like the reference's autocast forward
+        # (pretrain_simclr.py:332-340); BN batch stats and the InfoNCE
+        # cosine matrix stay f32 (torch autocast's own policy for them)
+        dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
         negatives=getattr(cfg.optim, "contrastive_negatives", "global"),
         bn_stats=getattr(cfg.optim, "bn_stats", "global"),
         grad_probes=probes,
