@@ -204,48 +204,72 @@ def extract_embeddings(
     import concurrent.futures as cf
 
     # batch shapes: full batches ride one compiled shape (batch_size
-    # rounded up so every 'data' shard gets equal rows); the final short
-    # batch is only padded to the next shard multiple — embedding
-    # duplicate pad rows up to the full batch would waste compute, and a
-    # single extra compiled shape per sweep is cheaper (persistent
-    # compile cache) than re-embedding up to batch_size-1 clips per task
+    # rounded up so every 'data' shard gets equal rows).  SINGLE-host
+    # runs additionally pad a short batch only to the next shard
+    # multiple — embedding duplicate pad rows up to the full batch would
+    # waste compute, and the occasional extra compiled shape is cheaper
+    # (persistent compile cache) than re-embedding up to batch_size-1
+    # clips per task.  Multi-host runs must NOT do this: every process
+    # has to present the same global batch shape to the jitted embed, and
+    # hosts reach their short batch at different sample counts — so they
+    # always pad to the full padded_size.
     data_size = mesh.shape.get("data", 1)
     padded_size = -(-batch_size // data_size) * data_size
+    uniform_shapes = jax.process_count() > 1
     fnames: list[str] = []
     embs: list[np.ndarray] = []
-    feature_dim: int | None = None
     n = len(dataset)
     idxs = list(range(n))
     # host slicing for multi-host runs
     n_proc, i_proc = jax.process_count(), jax.process_index()
     idxs = idxs[i_proc::n_proc]
 
+    # multi-host: a mesh-DP embed_fn executes cross-process collectives,
+    # so EVERY process must make the same number of embed calls with the
+    # same shapes.  The strided host slices differ by up to one sample,
+    # so the iteration count is derived from the GLOBAL n (identical on
+    # all hosts) and a host whose chunk came up empty (exhausted slice /
+    # all samples unreadable) participates with a dummy batch and
+    # contributes zero rows.
+    if uniform_shapes:
+        per_host_max = -(-n // n_proc)  # the largest host slice
+        n_iters = -(-per_host_max // batch_size) if n else 0
+    else:
+        n_iters = -(-len(idxs) // batch_size) if idxs else 0
+
+    def _shape_hint():
+        # any host can read global sample 0 just to learn the clip shape
+        s = dataset[0]
+        clip = s[0] if isinstance(s, tuple) else s
+        return np.asarray(clip).shape
+
     with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, len(idxs), batch_size):
-            chunk = idxs[start : start + batch_size]
+        for it in range(n_iters):
+            chunk = idxs[it * batch_size : (it + 1) * batch_size]
             samples = list(pool.map(lambda i: dataset[i], chunk))
             clips, names = drop_none_collate(samples)
             if len(names) == 0:
-                continue
-            # full batches share one compiled shape; the final short batch
-            # pads only to the next shard multiple (no duplicate-embed of
-            # batch_size-1 rows)
-            target = padded_size if clips.shape[0] == padded_size else (
-                -(-clips.shape[0] // data_size) * data_size
-            )
+                if not uniform_shapes:
+                    continue
+                # keep the collective in lockstep with a dummy batch
+                clips = np.zeros((padded_size, *_shape_hint()), np.float32)
+            # short batches pad to the next shard multiple (single-host)
+            # or the full compiled shape (multi-host, see above)
+            if uniform_shapes or clips.shape[0] >= padded_size:
+                target = padded_size
+            else:
+                target = -(-clips.shape[0] // data_size) * data_size
             pad = target - clips.shape[0]
             if pad:
                 clips = np.concatenate([clips, np.repeat(clips[-1:], pad, 0)])
             out = np.asarray(embed_fn(clips))
-            if pad:
-                out = out[: len(names)]
-            feature_dim = out.shape[1]
+            out = out[: len(names)]
             fnames += list(names)
             embs.append(out.astype(np.float32))
     local = {
         "fnames": fnames,
         "embeddings": np.concatenate(embs) if embs
-        else np.zeros((0, feature_dim or 1), np.float32),
+        else np.zeros((0, 1), np.float32),
     }
     gathered = all_gather_objects(local)
     return merge_gathered(gathered)
@@ -254,12 +278,12 @@ def extract_embeddings(
 def merge_gathered(gathered) -> tuple[list[str], np.ndarray]:
     """Merge per-host ``{'fnames', 'embeddings'}`` dicts.
 
-    A host with zero rows contributes a ``(0, 1)`` placeholder whose
-    feature dim may not match the real hosts' ``(B, D)`` arrays —
-    concatenating the mix would raise, so empty blocks are dropped when
-    any host produced rows.  When every host is empty, the widest
-    placeholder dim is kept (hosts that at least embedded something
-    report the true D via their placeholder)."""
+    A host with zero rows contributes a ``(0, 1)`` placeholder (or a
+    ``(0, D)`` one when it ran dummy lockstep batches) whose feature dim
+    may not match the real hosts' ``(B, D)`` arrays — concatenating the
+    mix would raise, so empty blocks are dropped when any host produced
+    rows.  When every host is empty, the widest placeholder dim is
+    kept."""
     all_names: list[str] = []
     all_embs: list[np.ndarray] = []
     for d in gathered:

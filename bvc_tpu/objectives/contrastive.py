@@ -150,10 +150,24 @@ def per_replica_info_nce_sharded(
     the per-shard loss is exactly the reference's per-rank loss and the
     ``pmean`` reproduces the DDP loss average (the reference's custom
     ``AllReduce``).
+
+    Alignment requirement: the interleaved ``[2B]`` rows are cut at
+    shard boundaries, so each shard must hold WHOLE (anchor, positive)
+    pairs — rows per shard must be even (equivalently B divides the
+    shard count; the train step enforces this eagerly with a clear
+    error before jit).
     """
     import jax
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    if feats.shape[0] % n_shards or (feats.shape[0] // n_shards) % 2:
+        raise ValueError(
+            f"per-replica blocks need whole pairs per shard: "
+            f"{feats.shape[0]} rows over {n_shards} shards leaves "
+            f"{feats.shape[0] / n_shards} rows/shard"
+        )
 
     def local_loss(f):
         # f is this shard's [2b, D] block; a shard is a replica, so the

@@ -30,11 +30,14 @@ MASKED_XLA_SCORE_BYTES_LIMIT = 768 * 2**20
 
 
 def masked_auto_impl(batch: int, heads: int, n_q: int, n_k: int,
-                     on_tpu: bool) -> str:
-    """Routing rule for masked 'auto' attention (unit-testable)."""
+                     on_tpu: bool, bytes_per_elem: int = 4) -> str:
+    """Routing rule for masked 'auto'/'xla_bf16' attention
+    (unit-testable).  ``bytes_per_elem``: 4 for f32 score storage, 2 for
+    bf16 (xla_bf16 halves the score tensor, doubling the batch the XLA
+    path can hold)."""
     if not on_tpu:
         return "xla"
-    score_bytes = batch * heads * n_q * n_k * 4
+    score_bytes = batch * heads * n_q * n_k * bytes_per_elem
     return "flash" if score_bytes > MASKED_XLA_SCORE_BYTES_LIMIT else "xla"
 
 
@@ -94,6 +97,13 @@ def multi_head_attention(
             # long sequences: defer to flash whether masked or not —
             # even bf16 [B,h,N,N] logits are the HBM temp flash avoids
             # (masked calls take the key-bias kernels)
+            impl = "flash"
+        elif key_mask is not None and masked_auto_impl(
+                q.shape[0], q.shape[2], n, k.shape[1], on_tpu,
+                bytes_per_elem=2) == "flash":
+            # memory routing applies to bf16-stored scores too (at half
+            # the bytes): without this, autocast_scores would bypass the
+            # big-batch escape hatch entirely
             impl = "flash"
         else:
             return _xla_attention(q, k, v, scale, key_mask, jnp.bfloat16)

@@ -59,15 +59,24 @@ def save_checkpoint(
     arrays) keep the host-0-only write.
 
     Crash safety: the new checkpoint is written to a sibling ``.new``
-    directory and swapped in only once complete, so a host dying mid-save
-    leaves the PREVIOUS checkpoint intact (never a half-written one).
+    directory; the swap parks the previous checkpoint at ``.old`` before
+    renaming ``.new`` in, so at EVERY instant at least one complete
+    checkpoint exists on disk (a death inside the swap leaves ``.new``
+    and/or ``.old`` complete — the next save finishes the swap via
+    :func:`_recover_interrupted_swap`, and :func:`load_checkpoint` reads
+    the survivors directly).
     """
     path = Path(path)
     tmp = path.with_name(path.name + ".new")
+    old = path.with_name(path.name + ".old")
     sync_hosts("pre-save")
     distributed = _has_nonaddressable(state_tree)
-    if is_main_process() and tmp.exists():
-        shutil.rmtree(tmp)  # stale leftovers from a killed save
+    if is_main_process():
+        _recover_interrupted_swap(path)
+        if tmp.exists():
+            shutil.rmtree(tmp)  # stale partial leftovers from a killed save
+        if old.exists():
+            shutil.rmtree(old)
     if distributed:
         sync_hosts("pre-save-clean")
         # all hosts contribute their shards; Orbax writes one global
@@ -82,11 +91,56 @@ def save_checkpoint(
             import json
 
             (tmp / "meta.json").write_text(json.dumps(meta, default=str))
-        # atomic swap: the completed .new replaces the old checkpoint
+        # swap: park the previous checkpoint aside, rename the completed
+        # .new in, then drop the parked copy — a crash at any point
+        # leaves a complete checkpoint recoverable
         if path.exists():
-            shutil.rmtree(path)
+            path.rename(old)
         tmp.rename(path)
+        if old.exists():
+            shutil.rmtree(old)
     sync_hosts("post-save")
+
+
+def _recover_interrupted_swap(path: Path) -> None:
+    """Finish a swap a previous process died inside: if ``path`` has no
+    complete state but a sibling ``.new`` (preferred — the newer save) or
+    ``.old`` does, move the survivor in."""
+    tmp = path.with_name(path.name + ".new")
+    old = path.with_name(path.name + ".old")
+    if (path / "state").exists():
+        return
+    for alt in (tmp, old):
+        if (alt / "state").exists():
+            if path.exists():
+                shutil.rmtree(path)
+            alt.rename(path)
+            return
+
+
+def checkpoint_exists(path: str | Path) -> bool:
+    """True when a loadable checkpoint exists at ``path`` — including the
+    ``.new``/``.old`` survivors of an interrupted swap (which
+    :func:`load_checkpoint` reads transparently)."""
+    path = Path(path)
+    return any(
+        (p / "state").exists()
+        for p in (path, path.with_name(path.name + ".new"),
+                  path.with_name(path.name + ".old"))
+    )
+
+
+def _resolve_ckpt_dir(path: Path) -> Path:
+    """The directory actually holding ``state``: ``path`` itself, or a
+    ``.new``/``.old`` survivor of an interrupted swap (read-only — no
+    renames here, so concurrent readers on shared filesystems are safe)."""
+    if (path / "state").exists():
+        return path
+    for alt in (path.with_name(path.name + ".new"),
+                path.with_name(path.name + ".old")):
+        if (alt / "state").exists():
+            return alt
+    return path
 
 
 def load_checkpoint(path: str | Path, like: dict[str, Any] | None = None) -> dict[str, Any]:
@@ -95,7 +149,7 @@ def load_checkpoint(path: str | Path, like: dict[str, Any] | None = None) -> dic
     ``like``: an abstract/concrete pytree to restore into (gives dtypes &
     shardings).  Without it, raw numpy arrays are returned.
     """
-    path = Path(path).resolve()
+    path = _resolve_ckpt_dir(Path(path).resolve())
     with ocp.StandardCheckpointer() as ckptr:
         if like is not None:
             return ckptr.restore(path / "state", like)
@@ -105,5 +159,5 @@ def load_checkpoint(path: str | Path, like: dict[str, Any] | None = None) -> dic
 def load_meta(path: str | Path) -> dict[str, Any]:
     import json
 
-    p = Path(path) / "meta.json"
+    p = _resolve_ckpt_dir(Path(path)) / "meta.json"
     return json.loads(p.read_text()) if p.exists() else {}

@@ -354,18 +354,28 @@ def make_simclr_train_step(
         return {"loss": info_nce_loss(feats, temperature, loss_mode)}
 
     inner = _jit_over_mesh(step, eval_step, mesh, param_mode)
-    if bn_stats == "per_replica" and data_size > 1:
+    needs_whole_pairs = data_size > 1 and (
+        bn_stats == "per_replica" or negatives == "per_replica"
+    )
+    if needs_whole_pairs:
         # refuse (eagerly, before pjit's own divisibility error can blur
-        # the message) to silently degrade to SyncBN semantics when the
-        # user explicitly asked for reference-DDP per-rank stats
+        # the message) batches whose augmentation pairs would not land
+        # whole on a shard: per-replica BN stat groups AND the shard_map
+        # per-replica InfoNCE blocks both slice the interleaved [2B]
+        # rows at shard boundaries — B must divide the data axis so each
+        # block holds complete (anchor, positive) pairs
         def guarded(state, batch):
             B = batch.shape[0]
-            if (2 * B) % data_size != 0:
+            if B % data_size != 0:
+                knobs = [k for k, v in (("bn_stats", bn_stats),
+                                        ("negatives", negatives))
+                         if v == "per_replica"]
                 raise ValueError(
-                    f"bn_stats='per_replica' requires the flattened batch "
-                    f"(2*B={2 * B}) to split evenly into {data_size} "
-                    f"per-shard stat groups — pick a batch size divisible "
-                    f"by the mesh or use bn_stats='global'."
+                    f"{'/'.join(knobs)}='per_replica' requires the pair "
+                    f"batch (B={B}) to divide the data shard count "
+                    f"({data_size}) so every shard holds whole "
+                    f"augmentation pairs — pick a divisible batch size "
+                    f"or use the 'global' mode."
                 )
             return inner(state, batch)
 

@@ -25,6 +25,7 @@ from bvc_tpu.masks.multiblock import MultiBlockMaskCollator, update_mask_indices
 from bvc_tpu.models import jepa
 from bvc_tpu.parallel import make_mesh
 from bvc_tpu.training.checkpoint import (
+    checkpoint_exists,
     checkpoint_path,
     load_checkpoint,
     save_checkpoint,
@@ -143,7 +144,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         )
     start_epoch = chain_start
     own_ckpt = checkpoint_path(folder, cfg.run_id)
-    if cfg.resume and own_ckpt.exists():
+    if cfg.resume and checkpoint_exists(own_ckpt):
         # mid-stage preemption recovery: restore all three models,
         # optimizer, epoch and step/rng (step drives the EMA ramp; the
         # mask stream is (seed, epoch, batch)-deterministic so it resumes

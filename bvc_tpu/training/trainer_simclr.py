@@ -20,6 +20,7 @@ from bvc_tpu.data.loader import DataLoader
 from bvc_tpu.models import resnet
 from bvc_tpu.parallel import make_mesh
 from bvc_tpu.training.checkpoint import (
+    checkpoint_exists,
     checkpoint_path,
     load_checkpoint,
     save_checkpoint,
@@ -68,7 +69,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1), extra=stats)
     start_epoch = 0
     own_ckpt = checkpoint_path(folder, cfg.run_id)
-    if cfg.resume and own_ckpt.exists():
+    if cfg.resume and checkpoint_exists(own_ckpt):
         # mid-stage preemption recovery: weights + BN running stats +
         # optimizer + epoch + step/rng (mirrors trainer_videomae.py)
         logger.info("resuming from %s", own_ckpt)

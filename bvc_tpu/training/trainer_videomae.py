@@ -22,6 +22,7 @@ from bvc_tpu.data.loader import DataLoader
 from bvc_tpu.models import videomae
 from bvc_tpu.parallel import make_mesh
 from bvc_tpu.training.checkpoint import (
+    checkpoint_exists,
     checkpoint_path,
     load_checkpoint,
     save_checkpoint,
@@ -73,7 +74,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1))
     start_epoch = 0
     own_ckpt = checkpoint_path(folder, cfg.run_id)
-    if cfg.resume and own_ckpt.exists():
+    if cfg.resume and checkpoint_exists(own_ckpt):
         # mid-stage preemption recovery: restore weights + optimizer +
         # epoch + step/rng (so mask streams continue, not replay)
         logger.info("resuming from %s", own_ckpt)
