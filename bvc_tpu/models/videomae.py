@@ -130,6 +130,11 @@ def encode_visible(
     vis = vis + pos
     return run_blocks(
         params["encoder"], vis, cfg.num_heads, cfg.layer_norm_eps, cfg.remat,
+        # NOT routed through autocast_scores: at 160 visible tokens the
+        # score tensor is small and the bf16 round-trip measured a ~1%
+        # LOSS (280.8 → 277.9 clips/s, tools/probe_r3.py vmae_ac) — the
+        # bandwidth saved is under the conversion cost.  The decoder's
+        # flash kernels keep scores in VMEM and are precision-unaffected.
         # measured on v5e: unrolled 12-layer encoder fwd+bwd 44.8 → 36.5 ms
         # at [32, 160, 768] (PERFORMANCE.md)
         unroll=cfg.depth <= 12,

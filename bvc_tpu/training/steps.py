@@ -183,9 +183,14 @@ def make_jepa_train_step(
             jepa.target_features(state.target_params, video, pred_idx, model_cfg)
         )
         valid = (pred_idx >= 0).astype(jnp.float32)[..., None]  # [M,B,Kp,1]
-        # opt-in autocast-parity bf16 logits on the gradient paths
-        # (the reference's whole forward runs under autocast-bf16)
-        grad_impl = "xla_bf16" if model_cfg.autocast_scores else "auto"
+        # autocast-parity bf16 logits on the gradient paths (the
+        # reference's whole forward runs under autocast-bf16); only in
+        # bf16 compute mode — f32 mode means "no autocast"
+        grad_impl = (
+            "xla_bf16"
+            if model_cfg.autocast_scores and model_cfg.dtype == "bfloat16"
+            else "auto"
+        )
 
         def loss_fn(params):
             z = jepa.encoder_forward(

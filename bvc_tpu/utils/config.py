@@ -178,13 +178,16 @@ class ModelConfig:
     # autocast-bf16 (pretrain_jepa.py:405-409), which quantizes its qk
     # logits at the same point; False keeps full-f32 logits.
     target_score_bf16: bool = True
-    # bf16-stored attention logits on the JEPA GRADIENT paths too
-    # (context encoder + predictor).  The reference's entire forward
-    # runs under torch autocast-bf16 (pretrain_jepa.py:405-409), so its
-    # context/predictor scores — and the grads flowing through them —
-    # are bf16-quantized at exactly this point.  Measured on v5e at
-    # bs 64: 230.0 → 247.1 clips/s with the step-20 loss identical to
-    # 5 decimals (tools/probe_r3.py jepa_ac).  False restores full-f32
+    # bf16-stored attention logits on the JEPA GRADIENT paths (context
+    # encoder + predictor); active only in bf16 compute mode.  The
+    # reference's whole forward runs under torch autocast-bf16
+    # (pretrain_jepa.py:405-409), so its scores — and the grads flowing
+    # through them — are bf16-quantized at exactly this point.  Measured
+    # on v5e: JEPA bs 64 230.0 → 247.1 clips/s with the step-20 loss
+    # identical to 5 decimals (tools/probe_r3.py jepa_ac).  The VideoMAE
+    # encoder deliberately does NOT route through this (measured a ~1%
+    # loss at its 160-token shape, see models/videomae.py); its decoder
+    # uses VMEM-resident flash scores.  False restores full-f32
     # gradient-path scores (pre-round-3 numerics).
     autocast_scores: bool = True
 

@@ -229,7 +229,9 @@ class TestJepaTrainStep:
         losses = {}
         for ac in (True, False):
             mesh = make_mesh()
-            cfg = jepa_cfg()
+            # bf16 compute: autocast_scores is gated on it (f32 mode
+            # means "no autocast", keeping full-precision parity exact)
+            cfg = jepa_cfg(dtype="bfloat16")
             cfg.autocast_scores = ac
             tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
             params = jepa.init_params(jax.random.PRNGKey(0), cfg)

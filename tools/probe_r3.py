@@ -90,6 +90,37 @@ def videomae_probe():
     return results
 
 
+def videomae_autocast_probe():
+    """A/B: VideoMAE encoder bf16 logits (autocast_scores) vs f32, bs 48."""
+    from bvc_tpu.models import videomae
+    from bvc_tpu.parallel import make_mesh, shard_batch
+    from bvc_tpu.training.optim import make_optimizer
+    from bvc_tpu.training.state import TrainState
+    from bvc_tpu.training.steps import make_videomae_train_step, place_state
+    from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
+    mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.9)
+    for ac in (False, True):
+        cfg = ModelConfig(autocast_scores=ac)
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        B = 48 * n_dev
+        video = np.random.default_rng(0).integers(
+            0, 255, (B, cfg.num_frames, cfg.image_size, cfg.image_size, 3),
+            dtype=np.uint8)
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh)
+        step = make_videomae_train_step(mesh, cfg, mask_cfg, tx)
+        sec, loss = _measure(step, state, shard_batch(video, mesh))
+        cps = B / sec / n_dev
+        print(json.dumps({"probe": f"vmae_bs48_autocast_{ac}",
+                          "clips_per_sec_chip": round(cps, 2),
+                          "ms_per_step": round(sec * 1e3, 2),
+                          "loss": round(loss, 5)}), flush=True)
+
+
 def jepa_autocast_probe():
     """A/B: autocast_scores (bf16 logits on the gradient paths, the
     reference's full-autocast quantization point) vs the f32 default,
@@ -450,6 +481,8 @@ def main():
         _guard(flashtune_probe)
     if which == "jepa_ac":
         _guard(jepa_autocast_probe)
+    if which == "vmae_ac":
+        _guard(videomae_autocast_probe)
 
 
 def _guard(fn):
