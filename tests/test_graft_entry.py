@@ -49,4 +49,5 @@ class TestDryrunMultichip:
         assert "mode=tp" in out and "loss=" in out
         assert "mode=fsdp" in out
         # both passes reported finite losses
-        assert out.count("dryrun_multichip ok") == 2
+        assert out.count("dryrun_multichip ok") == 3
+        assert "family=jepa" in out
