@@ -78,9 +78,21 @@ class SSv2Dataset:
     def __getitem__(self, index: int):
         sample = self.samples[index]
         names = self._frame_names(sample)
-        frames = [
-            _read_image(str(Path(self.root_dir, sample, fn))) for fn in names
-        ]
+        paths = [str(Path(self.root_dir, sample, fn)) for fn in names]
+        # fused native decode (libjpeg + resize/crop/normalize) when
+        # built: the SSv2 sweep is host-decode-bound (16 JPEGs/clip,
+        # PERFORMANCE.md host sizing).  n_threads=1 — extraction already
+        # fans samples out over its own pool; nested threads thrash
+        from bvc_tpu import native
+
+        if native.available():
+            try:
+                return native.decode_frames(
+                    paths, self.image_size, n_threads=1
+                ), sample
+            except IOError:
+                pass  # fall through to the per-frame path for the error
+        frames = [_read_image(p) for p in paths]
         return _transform_frames(frames, self.image_size), sample
 
 

@@ -152,6 +152,36 @@ def ssv2_corpus(tmp_path_factory):
 
 
 class TestBenchmarkDatasets:
+    def test_ssv2_native_matches_python_path(self, tmp_path, monkeypatch):
+        # the fused native decode (when built) must produce the same
+        # clips as the per-frame cv2 path within resampling tolerance
+        # (smooth images — DCT-scaled decode legitimately diverges on
+        # per-pixel noise, see test_native.py)
+        from PIL import Image
+
+        from bvc_tpu import native
+        from bvc_tpu.evalbench.datasets import SSv2Dataset
+
+        if not native.available():
+            pytest.skip("native lib not built")
+        root = tmp_path / "ssv2"
+        d = root / "train" / "0"
+        d.mkdir(parents=True)
+        yy, xx = np.mgrid[0:48, 0:64]
+        for i in range(8):
+            arr = ((yy * 2 + xx * 3 + i * 11) % 256).astype(np.uint8)
+            Image.fromarray(np.stack([arr] * 3, -1)).save(d / f"{i}.jpg",
+                                                          quality=95)
+        ds = SSv2Dataset(str(root), frame_rate=12, sample_len=4,
+                         train=True, image_size=16)
+        clip_native, name_n = ds[0]
+        monkeypatch.setattr(native, "available", lambda: False)
+        clip_py, name_p = ds[0]
+        assert name_n == name_p
+        assert clip_native.shape == clip_py.shape
+        # normalized units (std 0.25): mean |diff| well under a pixel step
+        assert np.mean(np.abs(clip_native - clip_py)) < 0.1
+
     def test_ssv2_reader(self, ssv2_corpus):
         ds = SSv2Dataset(ssv2_corpus, frame_rate=12, sample_len=8, train=True,
                          image_size=16)
