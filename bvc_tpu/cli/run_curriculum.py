@@ -48,6 +48,10 @@ def build_parser():
                    help="y: stage-0 extraction from random init")
     p.add_argument("--frame_rate", type=int, default=12)
     p.add_argument("--extract_batch_size", type=int, default=64)
+    p.add_argument("--emit_script", type=str, default="",
+                   help="write the curriculum as a runnable shell script "
+                        "(the reference's slurmscripts analogue) to this "
+                        "path and exit without training")
     p.add_argument("--override", type=str, default="",
                    help="comma-separated preset overrides, e.g. "
                         "'n_epoch=1,max_epoch_iters=3,n_trainsamples=64,"
@@ -57,6 +61,25 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.emit_script:
+        from bvc_tpu.curriculum.driver import emit_script
+
+        extract = {}
+        if args.extract:
+            for part in args.extract.split(","):
+                k, v = part.split("=")
+                extract[k.strip()] = v.strip()
+        script = emit_script(
+            args.curriculum, args.preset, args.seed,
+            jpg_root=args.jpg_root, savedir=args.savedir,
+            condition=args.condition, n_stages=args.n_stages,
+            extract=extract, init_checkpoint_path=args.init_checkpoint_path,
+        )
+        with open(args.emit_script, "w") as f:
+            f.write(script)
+        print(json.dumps({"emitted": args.emit_script,
+                          "stages": args.n_stages}))
+        return {"emitted": args.emit_script}
     setup_runtime()
     distributed_init()
     base = TrainConfig(savedir=args.savedir, seed=args.seed)

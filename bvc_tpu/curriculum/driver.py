@@ -127,6 +127,85 @@ def build_stage_config(
     return cfg
 
 
+_FAMILY_CLI = {"videomae": "pretrain_videomae", "jepa": "pretrain_jepa",
+               "simclr": "pretrain_simclr"}
+
+
+def emit_script(
+    curriculum: str,
+    preset_name: str,
+    seed: int,
+    jpg_root: str = "$JPG_ROOT",
+    savedir: str = "$SAVEDIR",
+    condition: str = "default",
+    n_stages: int = 3,
+    extract: dict[str, str] | None = None,
+    init_checkpoint_path: str = "na",
+) -> str:
+    """The curriculum as a runnable shell script — the reference ships its
+    grids as bash (``slurmscripts/*``); this emits the equivalent over
+    this framework's CLIs (SURVEY.md §7.6 "a config-driven runner that
+    can also emit job scripts") for users who schedule via job files.
+    """
+    preset = FAMILY_PRESETS[preset_name]
+    plan = stage_plan(curriculum, preset, seed, condition, n_stages)
+    cli = _FAMILY_CLI[preset.family]
+    lines = [
+        "#!/bin/bash",
+        f"# {curriculum} curriculum, preset {preset_name}, seed {seed} —",
+        f"# generated by bvc_tpu.curriculum.emit_script (reference "
+        f"analogue: slurmscripts/{preset_name}/slurm_{curriculum}_def.bash)",
+        "set -euo pipefail",
+        f"JPG_ROOT=${{JPG_ROOT:-{jpg_root}}}" if jpg_root.startswith("$")
+        else f"JPG_ROOT={jpg_root}",
+        f"SAVEDIR=${{SAVEDIR:-{savedir}}}" if savedir.startswith("$")
+        else f"SAVEDIR={savedir}",
+        f"INIT={init_checkpoint_path}",
+        "",
+    ]
+    base = TrainConfig()
+    for info in plan:
+        cfg = build_stage_config(preset, info, base)
+        o, d, m = cfg.optim, cfg.data, cfg.model
+        cmd = [
+            f"python -m bvc_tpu.cli.{cli}",
+            f'-train_group {info["train_group"]} -jpg_root "$JPG_ROOT" '
+            f'-savedir "$SAVEDIR" -init_checkpoint_path "$INIT"',
+            f'--run_id {info["run_id"]} --fold {info["fold"]} '
+            f"--seed {seed} --condition {condition}",
+            f"--n_epoch {cfg.n_epoch} --max_epoch_iters {cfg.max_epoch_iters} "
+            f"--batch_size {d.batch_size} --n_trainsamples {d.n_trainsamples}",
+            f"--optim {o.name} --lr {o.lr} --momentum {o.momentum} --wd {o.weight_decay}",
+        ]
+        if preset.family == "videomae":
+            cmd.append(f"--mask_sampler {cfg.mask.sampler} "
+                       f"--mask_ratio {cfg.mask.mask_ratio} "
+                       f"--num_frames {d.num_frames} "
+                       f"--tubelet_size {d.tubelet_size}")
+        elif preset.family == "jepa":
+            cmd.append(f"--enc_mask_scale {cfg.mask.enc_mask_scale[0]} "
+                       f"--pred_mask_scale {cfg.mask.pred_mask_scale[0]} "
+                       f"--interval {d.interval} --augs {d.augs} "
+                       f"--architecture {preset.architecture.removeprefix('vit_')}")
+        else:
+            cmd.append(f"--pred_emb_dim {m.pred_emb_dim} "
+                       f"--interval {d.interval} --augs {d.augs} "
+                       f"--architecture {m.architecture}")
+        lines.append(f"# stage {info['stage']}: group {info['train_group']}")
+        lines.append(" \\\n  ".join(cmd))
+        lines.append(f'INIT="$SAVEDIR/model_{info["run_id"]}.ckpt"')
+        lines.append("")
+    for task, vid_root in (extract or {}).items():
+        lines.append(
+            f"python -m bvc_tpu.cli.compute_embeddings -ds_task {task} "
+            f'-vid_root "{vid_root}" -savedir "$SAVEDIR/benchmarks/{task}" '
+            f'--family {preset.family} --checkpoint_dir "$SAVEDIR" '
+            f"--num_frames {preset.num_frames} "
+            f"--tubelet_size {preset.tubelet_size}"
+        )
+    return "\n".join(lines) + "\n"
+
+
 def _trainer_for(family: str):
     if family == "videomae":
         from bvc_tpu.training.trainer_videomae import run_pretraining

@@ -37,3 +37,34 @@ class TestOverrideParsing:
         args = build_parser().parse_args(
             ["-jpg_root", "/d", "-savedir", "/s", "--segment_minutes", "0.1"])
         assert args.segment_minutes == 0.1
+
+
+class TestEmitScript:
+    def test_emits_runnable_script_per_preset(self, tmp_path):
+        import subprocess
+
+        from bvc_tpu.cli.run_curriculum import main
+
+        for preset in ("generative", "predictive", "contrastive"):
+            out = tmp_path / f"{preset}.sh"
+            main(["-jpg_root", "/data/hv", "-savedir", "/out",
+                  "--preset", preset, "--curriculum", "dev", "--seed", "101",
+                  "--extract", "ssv2=/data/ssv2",
+                  "--emit_script", str(out)])
+            text = out.read_text()
+            # bash-parseable
+            rc = subprocess.run(["bash", "-n", str(out)]).returncode
+            assert rc == 0, preset
+            # three stages with the run-id contract and checkpoint threading
+            for stage, group in ((1, "g0"), (2, "g1"), (3, "g2")):
+                fold = (101 + stage) % 3
+                assert f"dev_{stage}_{group}_default_{fold}_101" in text
+            assert text.count('INIT="$SAVEDIR/model_') == 3
+            assert "compute_embeddings -ds_task ssv2" in text
+
+    def test_stage_overrides_reach_the_script(self, tmp_path):
+        # contrastive per-stage lr schedule 1e-2 -> 1e-3 -> 1e-4
+        from bvc_tpu.curriculum.driver import emit_script
+
+        text = emit_script("dev", "contrastive", 0)
+        assert "--lr 0.01" in text and "--lr 0.001" in text and "--lr 0.0001" in text
