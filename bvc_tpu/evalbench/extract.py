@@ -263,6 +263,13 @@ def extract_embeddings(
             if pad:
                 clips = np.concatenate([clips, np.repeat(clips[-1:], pad, 0)])
             out = np.asarray(embed_fn(clips))
+            if out.shape[0] != clips.shape[0]:
+                # multi-process mesh embed: the replicated output covers
+                # the GLOBAL batch (every host's slice concatenated along
+                # 'data' in process order) — take this host's segment,
+                # not the head rows (which belong to host 0)
+                start = i_proc * clips.shape[0]
+                out = out[start : start + clips.shape[0]]
             out = out[: len(names)]
             fnames += list(names)
             embs.append(out.astype(np.float32))

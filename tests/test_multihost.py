@@ -140,6 +140,41 @@ with mesh:
     _, m_res = step_f(state_r, batch)
     out["loss_resumed"] = float(np.asarray(m_res["loss"].addressable_data(0)))
 
+# cross-process mesh-DP embedding extraction with UNEQUAL host slices
+# (n=5 -> 3 vs 2 local samples): hosts must stay in collective lockstep
+# and each must emit ITS OWN rows of the replicated global output
+from bvc_tpu.evalbench.extract import extract_embeddings, untrained_embed_fn
+from bvc_tpu.utils.config import ModelConfig
+
+ecfg = ModelConfig(family="jepa", image_size=16, patch_size=8, num_frames=2,
+                   tubelet_size=1, hidden_size=16, depth=1, num_heads=2,
+                   dtype="float32")
+
+
+class _EmbDs:
+    def __len__(self):
+        return 5
+
+    def __getitem__(self, i):
+        r = np.random.default_rng(100 + i)
+        return r.standard_normal((2, 16, 16, 3)).astype(np.float32), f"v{i}.mp4"
+
+
+efn = untrained_embed_fn("jepa", ecfg, seed=0, mesh=mesh)
+names_e, embs_e = extract_embeddings(efn, _EmbDs(), batch_size=2, mesh=mesh,
+                                     num_workers=1)
+out["extract_names"] = sorted(names_e)
+# ground truth: the same samples through a LOCAL single-device embed
+efn_local = untrained_embed_fn("jepa", ecfg, seed=0)
+err = 0.0
+ds = _EmbDs()
+by_name = dict(zip(names_e, embs_e))
+for i in range(5):
+    clip, nm = ds[i]
+    ref = np.asarray(efn_local(clip[None]))[0]
+    err = max(err, float(np.max(np.abs(by_name[nm] - ref))))
+out["extract_max_err"] = err
+
 sync_hosts("test-barrier")
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -212,3 +247,10 @@ def test_two_process_collectives(tmp_path):
         assert o["ckpt_meta_exists"] is True
         assert o["loss_resumed"] == pytest.approx(o["loss_cont"], abs=1e-6)
     assert by_rank[0]["loss_cont"] == by_rank[1]["loss_cont"]
+
+    # cross-process extraction: every sample present exactly once on both
+    # hosts, and each embedding matches the single-device ground truth
+    # (host 1 emitting host 0's rows would blow extract_max_err up)
+    for o in outs:
+        assert o["extract_names"] == [f"v{i}.mp4" for i in range(5)]
+        assert o["extract_max_err"] < 1e-4, o["extract_max_err"]
