@@ -48,6 +48,14 @@ def build_parser():
                    help="y: stage-0 extraction from random init")
     p.add_argument("--frame_rate", type=int, default=12)
     p.add_argument("--extract_batch_size", type=int, default=64)
+    p.add_argument("--save_every_epoch", type=str, default="n",
+                   help="y: per-epoch checkpoints inside each stage")
+    p.add_argument("--resume", type=str, default="n",
+                   help="y: curriculum-level preemption recovery — "
+                        "completed stages are skipped via their "
+                        "checkpoints and the interrupted stage resumes "
+                        "mid-run (requires --save_every_epoch y for "
+                        "sub-stage granularity)")
     p.add_argument("--emit_script", type=str, default="",
                    help="write the curriculum as a runnable shell script "
                         "(the reference's slurmscripts analogue) to this "
@@ -83,6 +91,8 @@ def main(argv=None):
     setup_runtime()
     distributed_init()
     base = TrainConfig(savedir=args.savedir, seed=args.seed)
+    base.save_every_epoch = args.save_every_epoch == "y"
+    base.resume = args.resume == "y"
     base.data.jpg_root = args.jpg_root
     base.data.seed = args.seed
     base.data.num_workers = args.num_workers

@@ -114,6 +114,57 @@ class TestRunCurriculum:
         )
         assert manifest["final_checkpoint"].endswith(f"model_{s2['run_id']}.ckpt")
 
+    def test_curriculum_level_resume_skips_completed_stages(
+        self, frame_corpus, tmp_path
+    ):
+        # a killed curriculum re-run with resume=y must skip finished
+        # stages (via their checkpoints) instead of retraining stage 1
+        import dataclasses
+
+        from bvc_tpu.curriculum import presets
+
+        tiny = dataclasses.replace(
+            FAMILY_PRESETS["generative"],
+            n_epoch=1, batch_size=1, max_epoch_iters=2, n_trainsamples=16,
+            num_frames=4, tubelet_size=2,
+        )
+        presets.FAMILY_PRESETS["_tiny_gen2"] = tiny
+        try:
+            def mkbase():
+                base = TrainConfig(savedir=str(tmp_path), seed=0, log_freq=1)
+                base.data.jpg_root = frame_corpus
+                base.data.image_size = 32
+                base.data.segment_minutes = 0.011
+                base.data.num_workers = 2
+                base.model.image_size = 32
+                base.model.patch_size = 8
+                base.model.hidden_size = 32
+                base.model.depth = 2
+                base.model.num_heads = 4
+                base.model.decoder_hidden_size = 16
+                base.model.decoder_depth = 1
+                base.model.decoder_num_heads = 2
+                base.model.dtype = "float32"
+                base.mask.mask_ratio = 0.75
+                base.resume = True
+                base.save_every_epoch = True
+                return base
+
+            # "preempted" run: only stage 1 completes
+            run_curriculum("dev", "_tiny_gen2", mkbase(), n_stages=1)
+            ck1 = tmp_path / "model_dev_1_g0_default_1_0.ckpt"
+            assert ck1.is_dir()
+            mtime = max(p.stat().st_mtime for p in ck1.rglob("*"))
+
+            # restart the full curriculum: stage 1 must be SKIPPED (its
+            # checkpoint untouched) and stage 2 trains from it
+            results = run_curriculum("dev", "_tiny_gen2", mkbase(), n_stages=2)
+            assert len(results["stages"]) == 2
+            assert max(p.stat().st_mtime for p in ck1.rglob("*")) == mtime
+            assert (tmp_path / "model_dev_2_g1_default_2_0.ckpt").is_dir()
+        finally:
+            del presets.FAMILY_PRESETS["_tiny_gen2"]
+
 
 class TestCurriculumExtraction:
     def test_stages_plus_extraction_sweep(self, frame_corpus, tmp_path, ssv2_like):
