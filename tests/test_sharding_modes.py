@@ -84,6 +84,43 @@ class TestParamShardingModes:
         b = self._run(mesh, "fsdp")
         np.testing.assert_allclose(a, b, rtol=1e-4)
 
+    def test_fsdp_state_checkpoint_roundtrip_single_process(self, tmp_path):
+        # single-process FSDP state (sharded over 8 local devices, fully
+        # addressable) goes through save_checkpoint's host-gather path;
+        # the restored tree must equal the saved one
+        from bvc_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+        mesh = make_mesh()
+        cfg = ModelConfig(
+            image_size=32, patch_size=8, num_frames=4, tubelet_size=2,
+            hidden_size=32, depth=2, num_heads=4,
+            decoder_hidden_size=16, decoder_depth=1, decoder_num_heads=2,
+            dtype="float32",
+        )
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh, "fsdp"
+        )
+        step = make_videomae_train_step(
+            mesh, cfg, MaskConfig(mask_ratio=0.75), tx, "fsdp"
+        )
+        video = np.random.default_rng(0).standard_normal(
+            (16, 4, 32, 32, 3)).astype(np.float32)
+        state, _ = step(state, shard_batch(video, mesh))
+        ck = tmp_path / "model_fsdp.ckpt"
+        save_checkpoint(ck, {"model_state_dict": state.params,
+                             "opt": state.opt_state})
+        restored = load_checkpoint(ck)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(
+                jax.device_get(state.params))[0],
+            jax.tree_util.tree_flatten_with_path(
+                restored["model_state_dict"])[0],
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_tp_matches_replicated(self):
         mesh_tp = make_mesh({"data": 4, "model": 2})
         mesh_dp = make_mesh({"data": 4}, devices=jax.devices()[:4])

@@ -437,8 +437,14 @@ def flashtune_probe():
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((48, 1568, 6, 64)).astype(np.float32)).astype(jnp.bfloat16)
 
-    for bq, bbq, bbk in [(784, 784, 784), (392, 784, 784), (784, 392, 392),
-                         (784, 1568, 784), (224, 784, 784), (784, 784, 392)]:
+    import itertools
+    cfgs = [(784, 784, 784), (392, 784, 784), (784, 392, 392),
+            (784, 1568, 784), (224, 784, 784), (784, 784, 392)]
+    if len(sys.argv) > 2 and sys.argv[2] == "kv":
+        # round-3b: whole-KV backward blocks
+        cfgs = [(784, 784, 784), (784, 392, 1568), (784, 784, 1568),
+                (784, 224, 1568), (392, 392, 1568)]
+    for bq, bbq, bbk in cfgs:
         def vg(p, x, bq=bq, bbq=bbq, bbk=bbk):
             return jax.value_and_grad(
                 lambda v: jnp.sum(flash_attention(
