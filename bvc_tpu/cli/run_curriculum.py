@@ -67,21 +67,37 @@ def build_parser():
     return p
 
 
+def _parse_extract(args) -> list[dict] | None:
+    """One parser for the ``--extract 'task=root,...'`` spec (used by both
+    the live run and the emitted script)."""
+    if not args.extract:
+        return None
+    return [
+        {"ds_task": part.split("=", 1)[0].strip(),
+         "vid_root": part.split("=", 1)[1].strip(),
+         "frame_rate": args.frame_rate,
+         "batch_size": args.extract_batch_size}
+        for part in args.extract.split(",")
+    ]
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    preset = FAMILY_PRESETS[args.preset]
+    if args.override:
+        from bvc_tpu.curriculum.presets import apply_overrides
+
+        preset = apply_overrides(preset, args.override)
+    extraction = _parse_extract(args)
     if args.emit_script:
         from bvc_tpu.curriculum.driver import emit_script
 
-        extract = {}
-        if args.extract:
-            for part in args.extract.split(","):
-                k, v = part.split("=")
-                extract[k.strip()] = v.strip()
         script = emit_script(
-            args.curriculum, args.preset, args.seed,
+            args.curriculum, preset, args.seed,
             jpg_root=args.jpg_root, savedir=args.savedir,
             condition=args.condition, n_stages=args.n_stages,
-            extract=extract, init_checkpoint_path=args.init_checkpoint_path,
+            extract={t["ds_task"]: t["vid_root"] for t in extraction or []},
+            init_checkpoint_path=args.init_checkpoint_path,
         )
         with open(args.emit_script, "w") as f:
             f.write(script)
@@ -103,20 +119,6 @@ def main(argv=None):
         from bvc_tpu.cli.common import parse_mesh
 
         base.mesh_shape = parse_mesh(args.mesh)
-    preset = FAMILY_PRESETS[args.preset]
-    if args.override:
-        from bvc_tpu.curriculum.presets import apply_overrides
-
-        preset = apply_overrides(preset, args.override)
-    extraction = None
-    if args.extract:
-        extraction = [
-            {"ds_task": part.split("=")[0].strip(),
-             "vid_root": part.split("=")[1].strip(),
-             "frame_rate": args.frame_rate,
-             "batch_size": args.extract_batch_size}
-            for part in args.extract.split(",")
-        ]
     results = run_curriculum(
         args.curriculum, preset, base,
         n_stages=args.n_stages, condition=args.condition,

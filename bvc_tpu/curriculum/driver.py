@@ -133,7 +133,7 @@ _FAMILY_CLI = {"videomae": "pretrain_videomae", "jepa": "pretrain_jepa",
 
 def emit_script(
     curriculum: str,
-    preset_name: str,
+    preset: "str | FamilyPreset",
     seed: int,
     jpg_root: str = "$JPG_ROOT",
     savedir: str = "$SAVEDIR",
@@ -146,13 +146,19 @@ def emit_script(
     grids as bash (``slurmscripts/*``); this emits the equivalent over
     this framework's CLIs (SURVEY.md §7.6 "a config-driven runner that
     can also emit job scripts") for users who schedule via job files.
+
+    ``preset`` may be a registry name or a FamilyPreset instance (so CLI
+    ``--override`` edits reach the script).
     """
-    preset = FAMILY_PRESETS[preset_name]
+    preset_name = preset if isinstance(preset, str) else preset.family
+    if isinstance(preset, str):
+        preset = FAMILY_PRESETS[preset]
     plan = stage_plan(curriculum, preset, seed, condition, n_stages)
     cli = _FAMILY_CLI[preset.family]
     lines = [
         "#!/bin/bash",
-        f"# {curriculum} curriculum, preset {preset_name}, seed {seed} —",
+        f"# {curriculum} curriculum, preset {preset_name}, seed {seed}, "
+        f"condition {condition} —",
         f"# generated by bvc_tpu.curriculum.emit_script (reference "
         f"analogue: slurmscripts/{preset_name}/slurm_{curriculum}_def.bash)",
         "set -euo pipefail",
@@ -163,7 +169,10 @@ def emit_script(
         f"INIT={init_checkpoint_path}",
         "",
     ]
+    # condition must reach build_stage_config so the Matched* frame
+    # overrides land in the emitted flags exactly as in a live run
     base = TrainConfig()
+    base.data.condition = condition
     for info in plan:
         cfg = build_stage_config(preset, info, base)
         o, d, m = cfg.optim, cfg.data, cfg.model

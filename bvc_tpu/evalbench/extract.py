@@ -238,10 +238,17 @@ def extract_embeddings(
         n_iters = -(-len(idxs) // batch_size) if idxs else 0
 
     def _shape_hint():
-        # any host can read global sample 0 just to learn the clip shape
-        s = dataset[0]
-        clip = s[0] if isinstance(s, tuple) else s
-        return np.asarray(clip).shape
+        # any host can read global samples just to learn the clip shape;
+        # scan past unreadable ones (readers return (None, None))
+        for i in range(min(n, 16)):
+            s = dataset[i]
+            clip = s[0] if isinstance(s, tuple) else s
+            if clip is not None:
+                return np.asarray(clip).shape
+        raise RuntimeError(
+            "no readable sample in the first 16 — cannot build the "
+            "lockstep dummy batch for multi-host extraction"
+        )
 
     with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
         for it in range(n_iters):

@@ -167,7 +167,15 @@ def make_jepa_train_step(
     reference quirk), then ``ema_fallback`` once the generator is
     exhausted.
     """
+    import dataclasses
+
     from bvc_tpu.models import jepa
+
+    # f32 compute mode means "no autocast" anywhere: the target's bf16
+    # logits are disabled along with the gradient-path ones (the model
+    # function itself keeps honoring the explicit flag for tests/probes)
+    if model_cfg.dtype != "bfloat16" and model_cfg.target_score_bf16:
+        model_cfg = dataclasses.replace(model_cfg, target_score_bf16=False)
 
     def step(state: TrainState, batch):
         video = batch["video"]
@@ -376,11 +384,11 @@ def make_simclr_train_step(
                                         ("negatives", negatives))
                          if v == "per_replica"]
                 raise ValueError(
-                    f"{'/'.join(knobs)}='per_replica' requires the pair "
-                    f"batch (B={B}) to divide the data shard count "
-                    f"({data_size}) so every shard holds whole "
-                    f"augmentation pairs — pick a divisible batch size "
-                    f"or use the 'global' mode."
+                    f"{'/'.join(knobs)}='per_replica' requires the data "
+                    f"shard count ({data_size}) to divide the pair batch "
+                    f"(B={B}) so every shard holds whole augmentation "
+                    f"pairs — pick a batch size that is a multiple of "
+                    f"the mesh or use the 'global' mode."
                 )
             return inner(state, batch)
 

@@ -145,6 +145,14 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     start_epoch = chain_start
     own_ckpt = checkpoint_path(folder, cfg.run_id)
     if cfg.resume and checkpoint_exists(own_ckpt):
+        from bvc_tpu.training.checkpoint import load_meta
+
+        meta = load_meta(own_ckpt)
+        if int(meta.get("epoch", -1)) >= chain_start + cfg.n_epoch:
+            logger.info("run already complete (epoch %s/%d) — nothing to do",
+                        meta.get("epoch"), chain_start + cfg.n_epoch)
+            return {"checkpoint": str(own_ckpt),
+                    "train_loss": meta.get("loss", 0.0)}
         # mid-stage preemption recovery: restore all three models,
         # optimizer, epoch and step/rng (step drives the EMA ramp; the
         # mask stream is (seed, epoch, batch)-deterministic so it resumes

@@ -70,6 +70,14 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     start_epoch = 0
     own_ckpt = checkpoint_path(folder, cfg.run_id)
     if cfg.resume and checkpoint_exists(own_ckpt):
+        from bvc_tpu.training.checkpoint import load_meta
+
+        meta = load_meta(own_ckpt)
+        if int(meta.get("epoch", -1)) >= cfg.n_epoch:
+            logger.info("run already complete (epoch %s/%d) — nothing to do",
+                        meta.get("epoch"), cfg.n_epoch)
+            return {"checkpoint": str(own_ckpt),
+                    "train_loss": meta.get("train_loss", 0.0)}
         # mid-stage preemption recovery: weights + BN running stats +
         # optimizer + epoch + step/rng (mirrors trainer_videomae.py)
         logger.info("resuming from %s", own_ckpt)

@@ -75,6 +75,20 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     start_epoch = 0
     own_ckpt = checkpoint_path(folder, cfg.run_id)
     if cfg.resume and checkpoint_exists(own_ckpt):
+        from bvc_tpu.training.checkpoint import load_meta
+
+        # completed-stage fast path: curriculum-level resume answers the
+        # skip question from meta.json without restoring the full
+        # model+optimizer tree
+        meta = load_meta(own_ckpt)
+        if int(meta.get("epoch", -1)) >= cfg.n_epoch:
+            logger.info("run already complete (epoch %s/%d) — nothing to do",
+                        meta.get("epoch"), cfg.n_epoch)
+            return {
+                "checkpoint": str(own_ckpt),
+                "train_loss": meta.get("train_loss", 0.0),
+                "val_loss": meta.get("val_loss", 0.0),
+            }
         # mid-stage preemption recovery: restore weights + optimizer +
         # epoch + step/rng (so mask streams continue, not replay)
         logger.info("resuming from %s", own_ckpt)

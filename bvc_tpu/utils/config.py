@@ -176,7 +176,9 @@ class ModelConfig:
     # Store the JEPA target encoder's attention logits in bf16 (f32
     # softmax math).  The reference runs this no-grad pass under torch
     # autocast-bf16 (pretrain_jepa.py:405-409), which quantizes its qk
-    # logits at the same point; False keeps full-f32 logits.
+    # logits at the same point; False keeps full-f32 logits.  The train
+    # step disables it in f32 compute mode (dtype != 'bfloat16' means
+    # "no autocast"), matching autocast_scores below.
     target_score_bf16: bool = True
     # bf16-stored attention logits on the JEPA GRADIENT paths (context
     # encoder + predictor); active only in bf16 compute mode.  The

@@ -68,3 +68,25 @@ class TestEmitScript:
 
         text = emit_script("dev", "contrastive", 0)
         assert "--lr 0.01" in text and "--lr 0.001" in text and "--lr 0.0001" in text
+
+    def test_condition_frame_overrides_reach_the_script(self):
+        # MatchedSpatioTemporal forces num_frames=1/tubelet=1
+        # (CONDITION_FRAME_OVERRIDES) — the emitted flags must match what
+        # a live run with the same condition would train
+        from bvc_tpu.curriculum.driver import emit_script
+
+        text = emit_script("dev", "complexity_control", 0,
+                           condition="MatchedSpatioTemporal")
+        assert "--num_frames 1 " in text and "--tubelet_size 1\n" in text
+        default = emit_script("dev", "complexity_control", 0)
+        assert "--num_frames 1 " not in default
+
+    def test_cli_override_reaches_the_script(self, tmp_path):
+        from bvc_tpu.cli.run_curriculum import main
+
+        out = tmp_path / "smoke.sh"
+        main(["-jpg_root", "/d", "-savedir", "/o", "--preset", "generative",
+              "--override", "n_epoch=1,batch_size=2",
+              "--emit_script", str(out)])
+        text = out.read_text()
+        assert "--n_epoch 1" in text and "--batch_size 2" in text

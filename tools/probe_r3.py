@@ -91,7 +91,12 @@ def videomae_probe():
 
 
 def videomae_autocast_probe():
-    """A/B: VideoMAE encoder bf16 logits (autocast_scores) vs f32, bs 48."""
+    """A/B: VideoMAE encoder bf16 logits vs f32, bs 48.
+
+    The committed model deliberately does NOT route the encoder through
+    autocast_scores (the bf16 arm measured a ~1% LOSS — the evidence
+    this probe produces), so the bf16 arm is forced by wrapping the
+    encoder's run_blocks."""
     from bvc_tpu.models import videomae
     from bvc_tpu.parallel import make_mesh, shard_batch
     from bvc_tpu.training.optim import make_optimizer
@@ -103,7 +108,15 @@ def videomae_autocast_probe():
     n_dev = mesh.devices.size
     tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
     mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.9)
+    orig_run_blocks = videomae.run_blocks
+
+    def forced_bf16(stacked, x, *a, **k):
+        if x.shape[1] < 512:  # the 160-token encoder; decoder is 1568
+            k["attn_impl"] = "xla_bf16"
+        return orig_run_blocks(stacked, x, *a, **k)
+
     for ac in (False, True):
+        videomae.run_blocks = forced_bf16 if ac else orig_run_blocks
         cfg = ModelConfig(autocast_scores=ac)
         params = videomae.init_params(jax.random.PRNGKey(0), cfg)
         B = 48 * n_dev
@@ -119,6 +132,7 @@ def videomae_autocast_probe():
                           "clips_per_sec_chip": round(cps, 2),
                           "ms_per_step": round(sec * 1e3, 2),
                           "loss": round(loss, 5)}), flush=True)
+    videomae.run_blocks = orig_run_blocks
 
 
 def jepa_autocast_probe():
