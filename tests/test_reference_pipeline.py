@@ -215,6 +215,19 @@ enc = cj.get_model(args)
 sd = torch.load(cfg["ckpt"], weights_only=False)
 ref_w = sd["encoder"]["patch_embed.proj.weight"]
 assert torch.allclose(enc.patch_embed.proj.weight, ref_w), "silent load failure"
+
+# also load the PREDICTOR through the reference loader (the trainer-side
+# consumer, pretrain_jepa.py:290-300) — strict state-dict shape/name check
+import vision_transformer as vit
+from helper import load_checkpoint as ref_load
+pred = vit.vit_predictor(sequence_shape=(2, 14, 14), embed_dim=768,
+                         predictor_embed_dim=384, depth=6, num_heads=12)
+_, pred, _, _, _, epoch = ref_load(r_path=cfg["ckpt"], encoder=enc,
+                                   predictor=pred, target_encoder=None,
+                                   opt=None, scaler=None)
+ref_pw = sd["predictor"]["predictor_embed.weight"]
+assert torch.allclose(pred.predictor_embed.weight, ref_pw), \
+    "predictor silent load failure"
 video = np.load(cfg["video"])                       # [B,2,224,224,3]
 x = torch.from_numpy(video).permute(0, 1, 4, 2, 3)  # [B,T,C,H,W] (PatchEmbed.forward permutes internally, vision_transformer.py:258-261)
 enc.eval()
