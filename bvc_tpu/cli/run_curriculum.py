@@ -98,6 +98,7 @@ def main(argv=None):
             condition=args.condition, n_stages=args.n_stages,
             extract={t["ds_task"]: t["vid_root"] for t in extraction or []},
             init_checkpoint_path=args.init_checkpoint_path,
+            control_data_root=args.control_data_root,
         )
         with open(args.emit_script, "w") as f:
             f.write(script)

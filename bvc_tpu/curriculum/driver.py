@@ -141,6 +141,7 @@ def emit_script(
     n_stages: int = 3,
     extract: dict[str, str] | None = None,
     init_checkpoint_path: str = "na",
+    control_data_root: str = "",
 ) -> str:
     """The curriculum as a runnable shell script — the reference ships its
     grids as bash (``slurmscripts/*``); this emits the equivalent over
@@ -148,7 +149,8 @@ def emit_script(
     can also emit job scripts") for users who schedule via job files.
 
     ``preset`` may be a registry name or a FamilyPreset instance (so CLI
-    ``--override`` edits reach the script).
+    ``--override`` edits reach the script).  Matched* control conditions
+    additionally emit ``--control_data_root`` (env-overridable).
     """
     preset_name = preset if isinstance(preset, str) else preset.family
     if isinstance(preset, str):
@@ -191,6 +193,11 @@ def emit_script(
                        f"--mask_ratio {cfg.mask.mask_ratio} "
                        f"--num_frames {d.num_frames} "
                        f"--tubelet_size {d.tubelet_size}")
+            if condition in ("MatchedSpatial", "MatchedSpatioTemporal"):
+                # pickled control seqlists are required for these
+                # conditions (data/factory.py control_conditions)
+                root = control_data_root or "$CONTROL_ROOT"
+                cmd.append(f'--control_data_root "{root}"')
         elif preset.family == "jepa":
             cmd.append(f"--enc_mask_scale {cfg.mask.enc_mask_scale[0]} "
                        f"--pred_mask_scale {cfg.mask.pred_mask_scale[0]} "

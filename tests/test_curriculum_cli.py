@@ -77,9 +77,13 @@ class TestEmitScript:
 
         text = emit_script("dev", "complexity_control", 0,
                            condition="MatchedSpatioTemporal")
-        assert "--num_frames 1 " in text and "--tubelet_size 1\n" in text
+        assert "--num_frames 1 " in text and "--tubelet_size 1" in text
+        assert "--tubelet_size 16" not in text
+        # pickled control seqlists are mandatory for Matched* conditions
+        assert '--control_data_root "$CONTROL_ROOT"' in text
         default = emit_script("dev", "complexity_control", 0)
         assert "--num_frames 1 " not in default
+        assert "--control_data_root" not in default
 
     def test_cli_override_reaches_the_script(self, tmp_path):
         from bvc_tpu.cli.run_curriculum import main
