@@ -116,6 +116,29 @@ class TestAttention:
         # bs-128 predictor: ≈ 1.07 GiB → flash
         assert masked_auto_impl(512, 12, 209, 209, on_tpu=True) == "flash"
 
+    def test_xla_bf16_masked_also_routes_by_memory(self, monkeypatch):
+        # the autocast path must not bypass the big-batch flash escape
+        # hatch: masked xla_bf16 consults the router at 2 bytes/score
+        import bvc_tpu.ops.attention as attn
+        import bvc_tpu.ops.flash_attention as fa
+
+        monkeypatch.setattr(attn.jax, "default_backend", lambda: "tpu")
+        called = {}
+        monkeypatch.setattr(
+            fa, "flash_attention",
+            lambda q, k, v, scale=None, key_mask=None: called.setdefault(
+                "flash", True) and q,
+        )
+        q, k, v = self._qkv(N=16)
+        mask = jnp.asarray(np.ones((2, 16), bool))
+        # under the limit: stays on the bf16 XLA path
+        attn.multi_head_attention(q, k, v, impl="xla_bf16", key_mask=mask)
+        assert not called
+        # over the limit (shrunk for the test): routes to flash
+        monkeypatch.setattr(attn, "MASKED_XLA_SCORE_BYTES_LIMIT", 1)
+        attn.multi_head_attention(q, k, v, impl="xla_bf16", key_mask=mask)
+        assert called.get("flash")
+
     def test_xla_bf16_respects_key_mask(self):
         q, k, v = self._qkv(N=16)
         mask = np.ones((2, 16), bool)
