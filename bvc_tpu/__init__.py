@@ -31,4 +31,4 @@ Layer map (mirrors SURVEY.md §1, unified instead of copy-pasted per trainer):
 - ``utils/``      cross-cutting: config, run-id codec, logging, profiling
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

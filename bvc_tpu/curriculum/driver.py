@@ -152,11 +152,19 @@ def emit_script(
     ``--override`` edits reach the script).  Matched* control conditions
     additionally emit ``--control_data_root`` (env-overridable).
     """
+    from bvc_tpu.data.factory import CONTROL_CONDITIONS
+
     preset_name = preset if isinstance(preset, str) else preset.family
     if isinstance(preset, str):
         preset = FAMILY_PRESETS[preset]
     plan = stage_plan(curriculum, preset, seed, condition, n_stages)
     cli = _FAMILY_CLI[preset.family]
+    # 'static' also routes through the control root once one is
+    # configured (data/factory.py); emitting the env-backed flag for it
+    # keeps script semantics identical to the live run either way
+    needs_control_root = preset.family == "videomae" and (
+        condition in CONTROL_CONDITIONS or condition == "static"
+    )
     lines = [
         "#!/bin/bash",
         f"# {curriculum} curriculum, preset {preset_name}, seed {seed}, "
@@ -169,8 +177,11 @@ def emit_script(
         f"SAVEDIR=${{SAVEDIR:-{savedir}}}" if savedir.startswith("$")
         else f"SAVEDIR={savedir}",
         f"INIT={init_checkpoint_path}",
-        "",
     ]
+    if needs_control_root:
+        # env-overridable with the passed value (or empty) as the default
+        lines.append(f"CONTROL_ROOT=${{CONTROL_ROOT:-{control_data_root}}}")
+    lines.append("")
     # condition must reach build_stage_config so the Matched* frame
     # overrides land in the emitted flags exactly as in a live run
     base = TrainConfig()
@@ -193,11 +204,11 @@ def emit_script(
                        f"--mask_ratio {cfg.mask.mask_ratio} "
                        f"--num_frames {d.num_frames} "
                        f"--tubelet_size {d.tubelet_size}")
-            if condition in ("MatchedSpatial", "MatchedSpatioTemporal"):
-                # pickled control seqlists are required for these
-                # conditions (data/factory.py control_conditions)
-                root = control_data_root or "$CONTROL_ROOT"
-                cmd.append(f'--control_data_root "{root}"')
+            if needs_control_root:
+                # pickled control seqlists (data/factory.py
+                # CONTROL_CONDITIONS); the header defaults $CONTROL_ROOT
+                # to the value passed at emit time
+                cmd.append('--control_data_root "$CONTROL_ROOT"')
         elif preset.family == "jepa":
             cmd.append(f"--enc_mask_scale {cfg.mask.enc_mask_scale[0]} "
                        f"--pred_mask_scale {cfg.mask.pred_mask_scale[0]} "
@@ -211,13 +222,17 @@ def emit_script(
         lines.append(" \\\n  ".join(cmd))
         lines.append(f'INIT="$SAVEDIR/model_{info["run_id"]}.ckpt"')
         lines.append("")
+    # extraction must build the model at the TRAINED dims — the Matched*
+    # conditions override num_frames/tubelet, so use the stage config's
+    # model (what the live _run_extraction does via model_cfg)
+    m_ex = build_stage_config(preset, plan[0], base).model
     for task, vid_root in (extract or {}).items():
         lines.append(
             f"python -m bvc_tpu.cli.compute_embeddings -ds_task {task} "
             f'-vid_root "{vid_root}" -savedir "$SAVEDIR/benchmarks/{task}" '
             f'--family {preset.family} --checkpoint_dir "$SAVEDIR" '
-            f"--num_frames {preset.num_frames} "
-            f"--tubelet_size {preset.tubelet_size}"
+            f"--num_frames {m_ex.num_frames} "
+            f"--tubelet_size {m_ex.tubelet_size}"
         )
     return "\n".join(lines) + "\n"
 

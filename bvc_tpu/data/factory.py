@@ -55,6 +55,12 @@ def _corpus(cfg: DataConfig, rng: _random.Random) -> list[str]:
     return get_fold(fps, cfg.fold, cfg.num_folds, segment_size=cfg.segment_size)
 
 
+# Conditions that read the pre-pickled control seqlists
+# (pretrain_videomae.py:216-219); 'static' joins them when a control root
+# is configured (StillVideoDataset lives inside make_dataset_spatial).
+CONTROL_CONDITIONS = ("MatchedSpatial", "MatchedSpatioTemporal")
+
+
 def make_generative_dataset(cfg: DataConfig) -> dict:
     """Clip dataset for VideoMAE (``generative/homeview.py:17-79``):
     fold → optional val split (middle slice) → stride-resampled clips."""
@@ -64,8 +70,7 @@ def make_generative_dataset(cfg: DataConfig) -> dict:
     # dataset with num_frames=1 from the preset.  'static' additionally
     # routes here when a control root is configured (the reference's
     # StillVideoDataset path, live only inside make_dataset_spatial).
-    control_conditions = ("MatchedSpatial", "MatchedSpatioTemporal")
-    if cfg.condition in control_conditions or (
+    if cfg.condition in CONTROL_CONDITIONS or (
         cfg.condition == "static" and cfg.control_data_root
     ):
         return make_control_dataset(cfg)

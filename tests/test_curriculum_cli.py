@@ -76,14 +76,34 @@ class TestEmitScript:
         from bvc_tpu.curriculum.driver import emit_script
 
         text = emit_script("dev", "complexity_control", 0,
-                           condition="MatchedSpatioTemporal")
+                           condition="MatchedSpatioTemporal",
+                           control_data_root="/pkls")
         assert "--num_frames 1 " in text and "--tubelet_size 1" in text
         assert "--tubelet_size 16" not in text
-        # pickled control seqlists are mandatory for Matched* conditions
+        # pickled control seqlists are mandatory for Matched* conditions;
+        # the env var is defaulted in the header so set -u can't trip
         assert '--control_data_root "$CONTROL_ROOT"' in text
+        assert "CONTROL_ROOT=${CONTROL_ROOT:-/pkls}" in text
         default = emit_script("dev", "complexity_control", 0)
         assert "--num_frames 1 " not in default
         assert "--control_data_root" not in default
+
+    def test_extraction_flags_follow_condition_overrides(self):
+        # the extraction sweep must build the model at the TRAINED dims
+        from bvc_tpu.curriculum.driver import emit_script
+
+        text = emit_script("dev", "complexity_control", 0,
+                           condition="MatchedSpatioTemporal",
+                           extract={"ssv2": "/data/ssv2"})
+        ex = [l for l in text.splitlines() if "compute_embeddings" in l][0]
+        assert "--num_frames 1 " in ex + " " and "--tubelet_size 1" in ex
+
+    def test_static_condition_emits_control_root(self):
+        from bvc_tpu.curriculum.driver import emit_script
+
+        text = emit_script("dev", "generative", 0, condition="static")
+        assert '--control_data_root "$CONTROL_ROOT"' in text
+        assert "CONTROL_ROOT=${CONTROL_ROOT:-}" in text
 
     def test_cli_override_reaches_the_script(self, tmp_path):
         from bvc_tpu.cli.run_curriculum import main

@@ -225,6 +225,10 @@ pred = vit.vit_predictor(sequence_shape=(2, 14, 14), embed_dim=768,
 _, pred, _, _, _, epoch = ref_load(r_path=cfg["ckpt"], encoder=enc,
                                    predictor=pred, target_encoder=None,
                                    opt=None, scaler=None)
+# helper.load_checkpoint returns epoch=0 when it swallowed ANY exception
+# (helper.py:62-64) — the exported meta epoch is 1, so this asserts the
+# strict load really succeeded end to end
+assert epoch == 1, f"reference loader silently failed (epoch={epoch})"
 ref_pw = sd["predictor"]["predictor_embed.weight"]
 assert torch.allclose(pred.predictor_embed.weight, ref_pw), \
     "predictor silent load failure"
