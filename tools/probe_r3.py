@@ -394,6 +394,27 @@ def acct_probe():
     report("encoder12_fwd_bwd", ms, 3 * 12 * blk_gflop)
 
 
+def jepa128_scan_probe():
+    """bs-128 full JEPA step with SCAN-based block stacks: the unrolled
+    3-network program exceeds the dev box's compile-helper size limit
+    (HTTP 500); scanning shrinks the HLO ~12x and scan measured neutral
+    for JEPA (88.6 vs 89.1 ms target encode) — if this compiles, the
+    memory-routed masked-flash path is proven END-TO-END at bs 128."""
+    from bvc_tpu.models import jepa, vit
+
+    orig = vit.run_blocks
+
+    def forced(*a, **k):
+        k["unroll"] = False
+        return orig(*a, **k)
+
+    jepa.run_blocks = forced
+    try:
+        jepa128_probe()
+    finally:
+        jepa.run_blocks = orig
+
+
 def flash128_probe():
     """The bs-128 JEPA predictor's masked attention in isolation: the
     full train-step program is rejected by the dev box's remote compile
@@ -503,6 +524,8 @@ def main():
         _guard(jepa_autocast_probe)
     if which == "vmae_ac":
         _guard(videomae_autocast_probe)
+    if which == "jepa128scan":
+        _guard(jepa128_scan_probe)
 
 
 def _guard(fn):
