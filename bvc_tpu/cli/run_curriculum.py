@@ -99,6 +99,9 @@ def main(argv=None):
             extract={t["ds_task"]: t["vid_root"] for t in extraction or []},
             init_checkpoint_path=args.init_checkpoint_path,
             control_data_root=args.control_data_root,
+            frame_rate=args.frame_rate,
+            extract_batch_size=args.extract_batch_size,
+            preset_name=args.preset,
         )
         with open(args.emit_script, "w") as f:
             f.write(script)

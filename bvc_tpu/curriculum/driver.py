@@ -142,6 +142,9 @@ def emit_script(
     extract: dict[str, str] | None = None,
     init_checkpoint_path: str = "na",
     control_data_root: str = "",
+    frame_rate: int = 12,
+    extract_batch_size: int = 64,
+    preset_name: str | None = None,
 ) -> str:
     """The curriculum as a runnable shell script — the reference ships its
     grids as bash (``slurmscripts/*``); this emits the equivalent over
@@ -149,12 +152,18 @@ def emit_script(
     can also emit job scripts") for users who schedule via job files.
 
     ``preset`` may be a registry name or a FamilyPreset instance (so CLI
-    ``--override`` edits reach the script).  Matched* control conditions
+    ``--override`` edits reach the script; pass ``preset_name`` alongside
+    so the provenance header names the registry entry, not the model
+    family).  ``frame_rate``/``extract_batch_size`` reach the emitted
+    extraction commands — the live run threads the same values into
+    ``_run_extraction``, and omitting them would make the script sample
+    benchmarks at the CLI defaults instead.  Matched* control conditions
     additionally emit ``--control_data_root`` (env-overridable).
     """
     from bvc_tpu.data.factory import CONTROL_CONDITIONS
 
-    preset_name = preset if isinstance(preset, str) else preset.family
+    if preset_name is None:
+        preset_name = preset if isinstance(preset, str) else preset.family
     if isinstance(preset, str):
         preset = FAMILY_PRESETS[preset]
     plan = stage_plan(curriculum, preset, seed, condition, n_stages)
@@ -165,12 +174,21 @@ def emit_script(
     needs_control_root = preset.family == "videomae" and (
         condition in CONTROL_CONDITIONS or condition == "static"
     )
+    # map to the reference's actual slurmscripts directory — registry
+    # names mostly match, family names (the instance-only fallback) and
+    # predictive_unt do not (its grid lives in predictive/slurm_unt_*)
+    ref_dir = {
+        "videomae": "generative", "jepa": "predictive",
+        "simclr": "contrastive", "predictive_unt": "predictive",
+    }.get(preset_name, preset_name)
+    ref_script = ("slurm_unt_def.bash" if preset_name == "predictive_unt"
+                  else f"slurm_{curriculum}_def.bash")
     lines = [
         "#!/bin/bash",
         f"# {curriculum} curriculum, preset {preset_name}, seed {seed}, "
         f"condition {condition} —",
         f"# generated by bvc_tpu.curriculum.emit_script (reference "
-        f"analogue: slurmscripts/{preset_name}/slurm_{curriculum}_def.bash)",
+        f"analogue: slurmscripts/{ref_dir}/{ref_script})",
         "set -euo pipefail",
         f"JPG_ROOT=${{JPG_ROOT:-{jpg_root}}}" if jpg_root.startswith("$")
         else f"JPG_ROOT={jpg_root}",
@@ -232,7 +250,10 @@ def emit_script(
             f'-vid_root "{vid_root}" -savedir "$SAVEDIR/benchmarks/{task}" '
             f'--family {preset.family} --checkpoint_dir "$SAVEDIR" '
             f"--num_frames {m_ex.num_frames} "
-            f"--tubelet_size {m_ex.tubelet_size}"
+            f"--tubelet_size {m_ex.tubelet_size} "
+            f"--architecture {m_ex.architecture} "
+            f"--frame_rate {frame_rate} --batch_size {extract_batch_size} "
+            f"--seed {seed}"
         )
     return "\n".join(lines) + "\n"
 

@@ -50,12 +50,21 @@ class SSv2Dataset:
     """
 
     def __init__(self, root_dir: str, frame_rate: int = 12, sample_len: int = 16,
-                 train: bool = True, image_size: int = 224):
+                 train: bool = True, image_size: int = 224,
+                 use_native: bool = True, dct_scale: bool = True):
         self.root_dir = os.path.join(root_dir, "train/" if train else "val/")
         self.sample_len = sample_len
         self.image_size = image_size
         self.ds_rate = max(1, round(12 / frame_rate))
         self.samples = sorted(os.listdir(self.root_dir), key=int)
+        # use_native=False (or dct_scale=False) pins the decode to one
+        # resampling everywhere: the DCT-scaled native decode is a
+        # slightly different resample than decode-then-resize, so runs
+        # comparing embeddings across hosts with/without the built core
+        # should disable it (native/__init__.py docstring)
+        self.use_native = use_native
+        self.dct_scale = dct_scale
+        self._warned_fallback = False
 
     def __len__(self):
         return len(self.samples)
@@ -85,13 +94,26 @@ class SSv2Dataset:
         # fans samples out over its own pool; nested threads thrash
         from bvc_tpu import native
 
-        if native.available():
+        if self.use_native and native.available():
             try:
                 return native.decode_frames(
-                    paths, self.image_size, n_threads=1
+                    paths, self.image_size, n_threads=1,
+                    dct_scale=self.dct_scale,
                 ), sample
             except IOError:
-                pass  # fall through to the per-frame path for the error
+                # fall through to the per-frame path for the error —
+                # loudly, since the fallback resamples differently and a
+                # run that mixes the two paths is not reproducible
+                if not self._warned_fallback:
+                    self._warned_fallback = True
+                    import warnings
+
+                    warnings.warn(
+                        f"native decode failed for clip {sample}; falling "
+                        "back to the Python decode path (different "
+                        "resampling) for the failing clip(s)",
+                        stacklevel=2,
+                    )
         frames = [_read_image(p) for p in paths]
         return _transform_frames(frames, self.image_size), sample
 

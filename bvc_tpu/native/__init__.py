@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -18,9 +19,21 @@ import numpy as np
 _LIB_PATH = Path(__file__).parent / "libbvc_native.so"
 _lib = None
 _load_failed = False
+_load_lock = threading.Lock()
 
 
 def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
+    # serialized: extraction maps dataset reads over a thread pool, and
+    # two threads racing the lazy auto-build would compile to (and CDLL)
+    # the same .so path mid-write
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib

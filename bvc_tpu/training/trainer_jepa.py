@@ -128,23 +128,38 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             restored.setdefault("rng", np.asarray(state.rng))
             return restored
 
-    if cfg.init_checkpoint_path != "na":
-        # restore INTO a structural template so the optax pytree shapes
-        # survive serialization (reference loads enc/pred/target AND the
-        # optimizer when chaining stages, pretrain_jepa.py:290-300).
-        # step/rng are NOT adopted: each stage restarts its EMA ramp like
-        # the reference's per-stage momentum generator (:309-311).
-        logger.info("init from checkpoint %s", cfg.init_checkpoint_path)
-        restored = _restore(cfg.init_checkpoint_path)
-        chain_start = int(restored["epoch"])
-        state = state.replace(
-            params={"encoder": restored["encoder"], "predictor": restored["predictor"]},
-            target_params=restored["target_encoder"],
-            opt_state=restored["opt"],
-        )
-    start_epoch = chain_start
     own_ckpt = checkpoint_path(folder, cfg.run_id)
-    if cfg.resume and checkpoint_exists(own_ckpt):
+    resuming = cfg.resume and checkpoint_exists(own_ckpt)
+    if cfg.init_checkpoint_path != "na":
+        from bvc_tpu.training.checkpoint import load_meta
+
+        # chain_start only needs the previous stage's epoch COUNT; read
+        # it from meta.json when available so the stage-skip /
+        # mid-stage-resume paths (which overwrite all model state from
+        # own_ckpt anyway) never pay a full Orbax restore of the
+        # three-model + optimizer tree just to learn one integer
+        init_meta = load_meta(cfg.init_checkpoint_path)
+        init_epoch = int(init_meta["epoch"]) if "epoch" in init_meta else None
+        if init_epoch is None or not resuming:
+            # restore INTO a structural template so the optax pytree
+            # shapes survive serialization (reference loads
+            # enc/pred/target AND the optimizer when chaining stages,
+            # pretrain_jepa.py:290-300).  step/rng are NOT adopted: each
+            # stage restarts its EMA ramp like the reference's per-stage
+            # momentum generator (:309-311).
+            logger.info("init from checkpoint %s", cfg.init_checkpoint_path)
+            restored = _restore(cfg.init_checkpoint_path)
+            init_epoch = int(restored["epoch"])
+            if not resuming:
+                state = state.replace(
+                    params={"encoder": restored["encoder"],
+                            "predictor": restored["predictor"]},
+                    target_params=restored["target_encoder"],
+                    opt_state=restored["opt"],
+                )
+        chain_start = init_epoch
+    start_epoch = chain_start
+    if resuming:
         from bvc_tpu.training.checkpoint import load_meta
 
         meta = load_meta(own_ckpt)

@@ -114,3 +114,59 @@ class TestEmitScript:
               "--emit_script", str(out)])
         text = out.read_text()
         assert "--n_epoch 1" in text and "--batch_size 2" in text
+
+    def test_extraction_emits_sampling_and_architecture_flags(self, tmp_path):
+        # the live run threads frame_rate / extract batch size /
+        # architecture into _run_extraction; the emitted script must
+        # carry the same values or it samples benchmarks differently
+        from bvc_tpu.cli.run_curriculum import main
+
+        out = tmp_path / "x.sh"
+        main(["-jpg_root", "/d", "-savedir", "/o", "--preset", "contrastive",
+              "--frame_rate", "6", "--extract_batch_size", "16",
+              "--extract", "ssv2=/data/ssv2",
+              "--emit_script", str(out)])
+        ex = [l for l in out.read_text().splitlines()
+              if "compute_embeddings" in l][0]
+        assert "--frame_rate 6 " in ex and "--batch_size 16" in ex
+        assert "--architecture resnet18" in ex
+        assert "--seed 0" in ex
+
+    def test_emitted_extraction_architecture_parses_per_family(self):
+        # every family's emitted --architecture value must round-trip
+        # through the compute_embeddings parser to the trained dims
+        from bvc_tpu.cli.compute_embeddings import (
+            build_parser, model_config_from_args)
+        from bvc_tpu.curriculum.driver import emit_script
+
+        for preset, family in (("generative", "videomae"),
+                               ("predictive", "jepa"),
+                               ("contrastive", "simclr")):
+            text = emit_script("dev", preset, 0,
+                               extract={"ssv2": "/data/ssv2"})
+            ex = [l for l in text.splitlines()
+                  if "compute_embeddings" in l][0]
+            toks = ex.replace('"', "").split()
+            args = build_parser().parse_args(toks[toks.index("-ds_task"):])
+            cfg = model_config_from_args(args)
+            assert cfg.family == family
+            if family == "jepa":
+                assert cfg.architecture == "vit_base"
+            elif family == "simclr":
+                assert cfg.architecture == "resnet18"
+
+    def test_header_names_registry_preset_and_reference_dir(self, tmp_path):
+        from bvc_tpu.cli.run_curriculum import main
+
+        out = tmp_path / "h.sh"
+        main(["-jpg_root", "/d", "-savedir", "/o", "--preset", "contrastive",
+              "--emit_script", str(out)])
+        head = out.read_text().splitlines()[:3]
+        assert "preset contrastive" in head[1]
+        assert "slurmscripts/contrastive/slurm_dev_def.bash" in head[2]
+        # predictive_unt lives in predictive/slurm_unt_def.bash
+        from bvc_tpu.curriculum.driver import emit_script
+
+        text = emit_script("dev", "predictive_unt", 0,
+                           preset_name="predictive_unt")
+        assert "slurmscripts/predictive/slurm_unt_def.bash" in text

@@ -182,6 +182,36 @@ class TestBenchmarkDatasets:
         # normalized units (std 0.25): mean |diff| well under a pixel step
         assert np.mean(np.abs(clip_native - clip_py)) < 0.1
 
+    def test_ssv2_decode_path_pinning(self, ssv2_corpus, monkeypatch):
+        # use_native=False pins the decode to the Python path even when
+        # the native core is built (cross-host reproducibility knob),
+        # and dct_scale threads through to the native call
+        from bvc_tpu import native
+        from bvc_tpu.evalbench.datasets import SSv2Dataset
+
+        calls = {}
+
+        def fake_decode(paths, size, n_threads=None, uint8=False,
+                        dct_scale=True):
+            calls["dct_scale"] = dct_scale
+            raise IOError(paths[0])  # force the warned fallback
+
+        monkeypatch.setattr(native, "available", lambda: True)
+        monkeypatch.setattr(native, "decode_frames", fake_decode)
+        ds = SSv2Dataset(ssv2_corpus, frame_rate=12, sample_len=4,
+                         train=True, image_size=16, dct_scale=False)
+        with pytest.warns(UserWarning, match="native decode failed"):
+            clip, _ = ds[0]
+        assert clip.shape == (4, 16, 16, 3)
+        assert calls["dct_scale"] is False
+
+        pinned = SSv2Dataset(ssv2_corpus, frame_rate=12, sample_len=4,
+                             train=True, image_size=16, use_native=False)
+        calls.clear()
+        clip2, _ = pinned[0]
+        assert "dct_scale" not in calls  # native never consulted
+        np.testing.assert_allclose(clip, clip2)
+
     def test_ssv2_reader(self, ssv2_corpus):
         ds = SSv2Dataset(ssv2_corpus, frame_rate=12, sample_len=8, train=True,
                          image_size=16)

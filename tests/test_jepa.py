@@ -488,3 +488,35 @@ class TestLegacyCheckpointChaining:
         cfg.init_checkpoint_path = str(legacy)
         out = run_pretraining(cfg)
         assert np.isfinite(out["train_loss"])
+
+
+class TestCheapStageSkip:
+    def test_completed_stage_skip_never_restores(self, frame_corpus, tmp_path,
+                                                 monkeypatch):
+        """Curriculum-level resume over a completed JEPA stage must decide
+        from meta.json alone — no Orbax restore of the three-model +
+        optimizer tree (at ViT-B scale that is hundreds of MB per
+        skipped stage)."""
+        from bvc_tpu.training import trainer_jepa
+        from bvc_tpu.training.checkpoint import load_meta
+
+        rid1, rid2 = "dev_1_g0_default_1_8", "dev_2_g1_default_2_8"
+        cfg1 = TestJepaResume()._cfg(frame_corpus, tmp_path, rid1)
+        s1 = trainer_jepa.run_pretraining(cfg1)
+
+        cfg2 = TestJepaResume()._cfg(frame_corpus, tmp_path, rid2)
+        cfg2.data.train_group = "g0"
+        cfg2.init_checkpoint_path = s1["checkpoint"]
+        s2 = trainer_jepa.run_pretraining(cfg2)
+        assert load_meta(s2["checkpoint"])["epoch"] == 2
+
+        def _boom(*a, **k):
+            raise AssertionError("stage-skip paid a full checkpoint restore")
+
+        monkeypatch.setattr(trainer_jepa, "load_checkpoint", _boom)
+        cfg3 = TestJepaResume()._cfg(frame_corpus, tmp_path, rid2)
+        cfg3.data.train_group = "g0"
+        cfg3.init_checkpoint_path = s1["checkpoint"]
+        cfg3.resume = True
+        s3 = trainer_jepa.run_pretraining(cfg3)
+        assert s3["checkpoint"] == s2["checkpoint"]
