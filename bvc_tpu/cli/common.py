@@ -48,6 +48,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--log_grad_stats", type=str, default="n",
                    help="y: device-side per-layer grad-norm stats table "
                         "(the reference grad_logger meter) in the log line")
+    # LR/WD schedules — the reference ships I-JEPA's warmup-cosine
+    # schedulers disabled (predictive/helper.py:148-161); opt-in here
+    p.add_argument("--lr_schedule", type=str, default="none",
+                   choices=["none", "warmup_cosine"])
+    p.add_argument("--warmup_epochs", type=float, default=0.0)
+    p.add_argument("--start_lr", type=float, default=0.0)
+    p.add_argument("--final_lr", type=float, default=0.0)
+    p.add_argument("--final_wd", type=float, default=-1.0,
+                   help="cosine-decay weight decay to this value; <0 = off")
+    p.add_argument("--ipe_scale", type=float, default=1.25)
     return p
 
 
@@ -96,5 +106,11 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     o.lr = args.lr
     o.weight_decay = args.wd
     o.momentum = args.momentum
+    o.schedule = args.lr_schedule
+    o.warmup_epochs = args.warmup_epochs
+    o.start_lr = args.start_lr
+    o.final_lr = args.final_lr
+    o.final_wd = args.final_wd if args.final_wd >= 0 else None
+    o.ipe_scale = args.ipe_scale
     cfg.model.image_size = args.image_size
     return cfg

@@ -97,7 +97,9 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     # model/state --------------------------------------------------------------
     params = jepa.init_params(jax.random.PRNGKey(cfg.seed), cfg.model)
     target_params = copy.deepcopy(params["encoder"])
-    tx = make_optimizer(cfg.optim, params)
+    from bvc_tpu.training.optim import schedule_steps
+
+    tx = make_optimizer(cfg.optim, params, steps=schedule_steps(cfg, mesh))
     chain_start = 0
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1),
                               target_params=target_params)

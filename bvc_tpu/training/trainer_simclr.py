@@ -65,7 +65,9 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         params = cast(params, restored["model_state_dict"])
         if "batch_stats" in restored:
             stats = cast(stats, restored["batch_stats"])
-    tx = make_optimizer(cfg.optim)
+    from bvc_tpu.training.optim import schedule_steps
+
+    tx = make_optimizer(cfg.optim, steps=schedule_steps(cfg, mesh))
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1), extra=stats)
     start_epoch = 0
     own_ckpt = checkpoint_path(folder, cfg.run_id)

@@ -70,7 +70,9 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             lambda like, x: jnp.asarray(x, like.dtype), params,
             restored["model_state_dict"],
         )
-    tx = make_optimizer(cfg.optim)
+    from bvc_tpu.training.optim import schedule_steps
+
+    tx = make_optimizer(cfg.optim, steps=schedule_steps(cfg, mesh))
     state = TrainState.create(params, tx, jax.random.PRNGKey(cfg.seed + 1))
     start_epoch = 0
     own_ckpt = checkpoint_path(folder, cfg.run_id)

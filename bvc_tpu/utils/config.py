@@ -244,6 +244,20 @@ class OptimConfig:
     # SimCLR BatchNorm statistics: 'global' (SyncBN, the SPMD default)
     # or 'per_replica' (reference DDP per-rank BN parity)
     bn_stats: str = "global"
+    # LR schedule. The reference imports I-JEPA's WarmupCosineSchedule /
+    # CosineWDSchedule but ships them disabled (scheduler=None,
+    # predictive/helper.py:148-161); 'none' keeps that constant-lr
+    # behavior.  'warmup_cosine' enables the commented-out design:
+    # linear warmup start_lr→lr over warmup_epochs, then cosine decay
+    # lr→final_lr over ipe_scale*n_epoch epochs of steps.
+    schedule: str = "none"  # 'none' | 'warmup_cosine'
+    warmup_epochs: float = 0.0
+    start_lr: float = 0.0
+    final_lr: float = 0.0
+    # cosine weight-decay schedule weight_decay→final_wd over the same
+    # horizon (CosineWDSchedule); None disables (constant wd)
+    final_wd: float | None = None
+    ipe_scale: float = 1.25
 
 
 @dataclass
