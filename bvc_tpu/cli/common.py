@@ -58,6 +58,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--final_wd", type=float, default=-1.0,
                    help="cosine-decay weight decay to this value; <0 = off")
     p.add_argument("--ipe_scale", type=float, default=1.25)
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help=">1: sequential microbatches per optimizer step "
+                        "(same effective batch, ~k× less activation "
+                        "memory; videomae/jepa only)")
     return p
 
 
@@ -112,5 +116,6 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     o.final_lr = args.final_lr
     o.final_wd = args.final_wd if args.final_wd >= 0 else None
     o.ipe_scale = args.ipe_scale
+    o.grad_accum_steps = args.grad_accum_steps
     cfg.model.image_size = args.image_size
     return cfg

@@ -31,6 +31,47 @@ from bvc_tpu.training.state import TrainState
 from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
 
 
+def _microbatches(tree: Any, k: int) -> Any:
+    """Split every batch-major leaf ``[B, ...]`` into ``[k, B//k, ...]``
+    scan-ready microbatches.
+
+    The grouping is STRIDED (microbatch j = rows ≡ j mod k): each data
+    shard's contiguous block contributes ``B/(shards·k)`` rows to every
+    microbatch, so the split never moves data across chips — a plain
+    leading-axis reshape would regroup rows across shard boundaries."""
+
+    def split(x):
+        B = x.shape[0]
+        if B % k:
+            raise ValueError(
+                f"grad_accum_steps ({k}) must divide the global batch ({B})"
+            )
+        return jnp.swapaxes(x.reshape(B // k, k, *x.shape[1:]), 0, 1)
+
+    return jax.tree_util.tree_map(split, tree)
+
+
+def _accumulated_grads(loss_fn_of, params, micro_xs, k: int):
+    """Mean loss and gradients over ``k`` sequential microbatches.
+
+    ``loss_fn_of(xs)`` returns a scalar-loss function of ``params`` for
+    one microbatch ``xs``.  ``lax.scan`` keeps one microbatch's
+    activations live at a time — the point: peak activation memory drops
+    ~k× for the same effective batch (the reference has no equivalent;
+    its batch is bounded by per-GPU VRAM)."""
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def micro(carry, xs):
+        g_acc, loss_acc = carry
+        loss, g = jax.value_and_grad(loss_fn_of(xs))(params)
+        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+        return (g_acc, loss_acc + loss), None
+
+    (g_sum, loss_sum), _ = jax.lax.scan(micro, (zero_g, 0.0), micro_xs)
+    grads = jax.tree_util.tree_map(lambda x: x / k, g_sum)
+    return loss_sum / k, grads
+
+
 def _tree_shardings(state: TrainState, mesh: Mesh, param_mode: str):
     """Shardings for the whole TrainState (params rule applied to params,
     opt state mirrors params where shapes match, scalars replicated)."""
@@ -70,10 +111,16 @@ def make_videomae_train_step(
     tx: optax.GradientTransformation,
     param_mode: str = "replicated",
     grad_probes: dict[str, Callable[[Any], jnp.ndarray]] | None = None,
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, jnp.ndarray], tuple[TrainState, dict]]:
     """Tube-masked reconstruction step over ``video [B,T,H,W,C]``.
 
     Replaces the hot loop of ``generative/pretrain_videomae.py:289-357``.
+    ``grad_accum > 1`` splits the batch into that many sequential
+    microbatches and averages their gradients before the single optimizer
+    step — numerically the same batch-mean loss (tube masks give every
+    sample an identical masked-patch count, so the mean of microbatch
+    means is exact), at ~grad_accum× lower activation memory.
     """
     grid = (
         model_cfg.num_time_steps,
@@ -93,15 +140,34 @@ def make_videomae_train_step(
         rng, mask_rng = jax.random.split(state.rng)
         mask = sampler(mask_rng, video.shape[0])
 
-        def loss_fn(params):
-            loss, metrics = videomae.pretrain_loss(
-                params, video, mask, model_cfg, num_visible
-            )
-            return loss, metrics
+        if grad_accum > 1:
+            micro_xs = _microbatches({"video": video, "mask": mask}, grad_accum)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            def loss_fn_of(xs):
+                def loss_fn(params):
+                    loss, _ = videomae.pretrain_loss(
+                        params, xs["video"], xs["mask"], model_cfg, num_visible
+                    )
+                    return loss
+
+                return loss_fn
+
+            loss, grads = _accumulated_grads(
+                loss_fn_of, state.params, micro_xs, grad_accum
+            )
+            metrics = {"loss": loss}
+        else:
+            def loss_fn(params):
+                loss, metrics = videomae.pretrain_loss(
+                    params, video, mask, model_cfg, num_visible
+                )
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            metrics = dict(metrics)
         params, opt_state = apply_gradients(tx, grads, state.opt_state, state.params)
-        metrics = dict(metrics)
         # grad_norm + EFL/ELL/DLL from one fused pass over the gradients
         # (reference grad_logger, generative/loggingtools.py:98-119)
         from bvc_tpu.training.probes import videomae_grad_metrics
@@ -149,9 +215,18 @@ def make_jepa_train_step(
     param_mode: str = "replicated",
     ema_fallback: float = 0.998,
     grad_probes: dict[str, Callable[[Any], jnp.ndarray]] | None = None,
+    grad_accum: int = 1,
 ):
     """JEPA step: context-encode → predict → smooth-L1 vs frozen EMA
     targets → update online nets → EMA the target encoder.
+
+    ``grad_accum > 1`` averages gradients over sequential microbatches
+    before the one optimizer step and EMA update — exact (the collator's
+    batch-min truncation gives every sample the same valid-mask count,
+    so microbatch loss means compose to the batch mean), at ~grad_accum×
+    lower activation memory; this is the supported route to effective
+    batches past the single-shot memory ceiling (e.g. 128 clips/chip,
+    PERFORMANCE.md "Masked flash attention").
 
     Batch dict (all batch-major for ``data``-axis sharding):
       ``video``    ``[B, T, H, W, C]``
@@ -178,19 +253,11 @@ def make_jepa_train_step(
         model_cfg = dataclasses.replace(model_cfg, target_score_bf16=False)
 
     def step(state: TrainState, batch):
-        video = batch["video"]
-        enc_idx = batch["enc_idx"]
-        pred_idx = jnp.transpose(batch["pred_idx"], (1, 0, 2))  # [M, B, Kp]
         rng, _ = jax.random.split(state.rng)
         # Stochastic-depth rngs (only consumed when drop_path_rate > 0;
         # fold_in keeps the main rng stream identical either way).
         dpe = jax.random.fold_in(state.rng, 101) if model_cfg.drop_path_rate > 0 else None
         dpp = jax.random.fold_in(state.rng, 102) if model_cfg.drop_path_rate > 0 else None
-
-        targets = jax.lax.stop_gradient(
-            jepa.target_features(state.target_params, video, pred_idx, model_cfg)
-        )
-        valid = (pred_idx >= 0).astype(jnp.float32)[..., None]  # [M,B,Kp,1]
         # autocast-parity bf16 logits on the gradient paths (the
         # reference's whole forward runs under autocast-bf16); only in
         # bf16 compute mode — f32 mode means "no autocast"
@@ -200,20 +267,45 @@ def make_jepa_train_step(
             else "auto"
         )
 
-        def loss_fn(params):
-            z = jepa.encoder_forward(
-                params["encoder"], video, model_cfg, enc_idx, rng=dpe,
-                attn_impl=grad_impl,
+        def loss_fn_of(xs):
+            video = xs["video"]
+            enc_idx = xs["enc_idx"]
+            pred_idx = jnp.transpose(xs["pred_idx"], (1, 0, 2))  # [M, mB, Kp]
+            # target encode inside the microbatch: its activations are
+            # the step's largest piece and must not all be live at once
+            targets = jax.lax.stop_gradient(
+                jepa.target_features(state.target_params, video, pred_idx, model_cfg)
             )
-            preds = jepa.predictor_forward(
-                params["predictor"], z, enc_idx, pred_idx, model_cfg, rng=dpp,
-                attn_impl=grad_impl,
-            )
-            per = smooth_l1(preds, targets) * valid
-            denom = jnp.maximum(jnp.sum(valid), 1.0) * preds.shape[-1]
-            return jnp.sum(per) / denom
+            valid = (pred_idx >= 0).astype(jnp.float32)[..., None]  # [M,mB,Kp,1]
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            def loss_fn(params):
+                z = jepa.encoder_forward(
+                    params["encoder"], video, model_cfg, enc_idx, rng=dpe,
+                    attn_impl=grad_impl,
+                )
+                preds = jepa.predictor_forward(
+                    params["predictor"], z, enc_idx, pred_idx, model_cfg, rng=dpp,
+                    attn_impl=grad_impl,
+                )
+                per = smooth_l1(preds, targets) * valid
+                denom = jnp.maximum(jnp.sum(valid), 1.0) * preds.shape[-1]
+                return jnp.sum(per) / denom
+
+            return loss_fn
+
+        enc_idx = batch["enc_idx"]
+        pred_idx = jnp.transpose(batch["pred_idx"], (1, 0, 2))  # [M, B, Kp]
+        if grad_accum > 1:
+            micro_xs = _microbatches(
+                {"video": batch["video"], "enc_idx": batch["enc_idx"],
+                 "pred_idx": batch["pred_idx"]},
+                grad_accum,
+            )
+            loss, grads = _accumulated_grads(
+                loss_fn_of, state.params, micro_xs, grad_accum
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn_of(batch))(state.params)
         params, opt_state = apply_gradients(tx, grads, state.opt_state, state.params)
 
         # EMA coefficient: uncapped linear ramp while the reference's
@@ -275,8 +367,14 @@ def make_simclr_train_step(
     negatives: str = "global",
     bn_stats: str = "global",
     grad_probes: dict[str, Callable[[Any], jnp.ndarray]] | None = None,
+    grad_accum: int = 1,
 ):
     """SimCLR step over pair batches ``[B, 2, H, W, C]``.
+
+    ``grad_accum`` must stay 1: InfoNCE couples every sample to the rest
+    of the batch as negatives (and BatchNorm to its batch statistics), so
+    microbatching would silently shrink the negative set — unlike the
+    decomposable VideoMAE/JEPA losses.
 
     Replaces the hot loop of ``contrastive/pretrain_simclr.py:296-365``:
     the batch is flattened to the interleaved ``[2B, ...]`` layout
@@ -298,6 +396,12 @@ def make_simclr_train_step(
     ``broadcast_buffers=True``), implemented as shard-aligned stat
     groups in :func:`bvc_tpu.models.resnet._bn`.
     """
+    if grad_accum != 1:
+        raise ValueError(
+            "grad_accum_steps is not supported for SimCLR: InfoNCE "
+            "negatives (and BatchNorm statistics) span the whole batch, "
+            "so accumulation would change the loss semantics"
+        )
     data_size = mesh.shape.get("data", 1)
     from bvc_tpu.models import resnet
     from bvc_tpu.objectives.contrastive import (

@@ -214,6 +214,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     step = make_jepa_train_step(
         mesh, cfg.model, tx, total_steps, cfg.optim.ema, cfg.param_sharding,
         ema_fallback=cfg.optim.ema_fallback, grad_probes=probes,
+        grad_accum=cfg.optim.grad_accum_steps,
     )
     loader = DataLoader(
         datasets["train"], mesh, global_batch, shuffle=True, seed=cfg.seed,

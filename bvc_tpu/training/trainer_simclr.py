@@ -115,6 +115,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     step = make_simclr_train_step(
         mesh, arch, tx, TEMPERATURE, loss_mode="parity",
         param_mode=cfg.param_sharding,
+        grad_accum=cfg.optim.grad_accum_steps,
         # bf16 compute like the reference's autocast forward
         # (pretrain_simclr.py:332-340); BN batch stats and the InfoNCE
         # cosine matrix stay f32 (torch autocast's own policy for them)

@@ -125,7 +125,8 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
         probes.update(full_grad_probes("videomae"))
     step = make_videomae_train_step(
-        mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, probes
+        mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, probes,
+        grad_accum=cfg.optim.grad_accum_steps,
     )
 
     # data ---------------------------------------------------------------------

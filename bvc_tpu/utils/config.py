@@ -258,6 +258,11 @@ class OptimConfig:
     # horizon (CosineWDSchedule); None disables (constant wd)
     final_wd: float | None = None
     ipe_scale: float = 1.25
+    # >1: split each batch into this many sequential microbatches and
+    # average their gradients before the single optimizer step — same
+    # effective batch at ~k× lower activation memory (videomae/jepa only;
+    # InfoNCE couples the batch so SimCLR refuses it)
+    grad_accum_steps: int = 1
 
 
 @dataclass
