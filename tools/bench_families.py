@@ -25,12 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _benchlib import BASELINE_CLIPS_PER_SEC_PER_ACCEL, ladder  # noqa: E402
 
 
-def bench_jepa(per_device_batches=(64, 32)):
-    # bs 64 is the measured-fastest rung.  128/chip now routes its masked
-    # attention to the key-bias flash kernels (no f32 [MB,12,209,209]
-    # score tensors — ops/attention.py masked_auto_impl), but this dev
-    # box's remote compile helper rejects programs that size (HTTP 500,
-    # PERFORMANCE.md round-3), so the ladder still starts at 64.
+def bench_jepa(configs=((64, 4), (64, 1), (32, 1))):
+    # (per_device_batch, grad_accum) rungs.  (64, 4) — the reference's
+    # effective batch with microbatch-16 scan accumulation — measures
+    # 292 clips/s vs 247 single-shot (tools/probe_accum.py,
+    # PERFORMANCE.md "Gradient accumulation"): at small microbatches the
+    # 392/209-token f32 score tensors stop streaming HBM and the
+    # optimizer+EMA run once per batch.  Single-shot rungs remain as
+    # fallbacks.  The single-shot 128/chip case cannot compile on this
+    # dev box (remote compile-helper ceiling, PERFORMANCE.md round-3);
+    # accumulated 128/chip runs (306 clips/s at accum 16) but changes
+    # the effective batch, so it stays out of the headline rungs.
     import copy
 
     import jax
@@ -56,7 +61,8 @@ def bench_jepa(per_device_batches=(64, 32)):
     tx = make_optimizer(OptimConfig(name="sgd", lr=0.03, momentum=0.9))
     params = jepa.init_params(jax.random.PRNGKey(0), cfg)
 
-    def build(per_device_batch):
+    def build(config):
+        per_device_batch, accum = config
         B = per_device_batch * n_dev
         state = place_state(
             TrainState.create(
@@ -65,7 +71,8 @@ def bench_jepa(per_device_batches=(64, 32)):
             ),
             mesh,
         )
-        step = make_jepa_train_step(mesh, cfg, tx, total_steps=10000)
+        step = make_jepa_train_step(mesh, cfg, tx, total_steps=10000,
+                                    grad_accum=accum)
         video = np.random.default_rng(0).integers(
             0, 255, (B, cfg.num_frames, cfg.image_size, cfg.image_size, 3),
             dtype=np.uint8,
@@ -89,7 +96,7 @@ def bench_jepa(per_device_batches=(64, 32)):
         sync(metrics["loss"])
         return state, step, batch, B
 
-    per_device_batch, (state, step, batch, B) = ladder(per_device_batches, build)
+    (per_device_batch, accum), (state, step, batch, B) = ladder(configs, build)
 
     iters = 20
     t0 = time.perf_counter()
@@ -103,6 +110,7 @@ def bench_jepa(per_device_batches=(64, 32)):
         "value": round(per_chip, 2),
         "unit": "clips/sec/chip",
         "batch_per_chip": per_device_batch,
+        "grad_accum": accum,
         "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC_PER_ACCEL, 2),
     }), flush=True)
     return per_chip
@@ -143,7 +151,7 @@ def bench_simclr(per_device_batches=(256, 128, 64)):
         sync(metrics["loss"])
         return state, step, batch, B
 
-    per_device_batch, (state, step, batch, B) = ladder(per_device_batches, build)
+    (per_device_batch, accum), (state, step, batch, B) = ladder(configs, build)
 
     iters = 20
     t0 = time.perf_counter()

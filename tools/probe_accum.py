@@ -84,7 +84,7 @@ def probe_jepa(per_device_batch=128, accum=2, iters=20):
     }), flush=True)
 
 
-def probe_vmae(per_device_batch=48, iters=20):
+def probe_vmae(per_device_batch=48, iters=20, accums=(1, 2)):
     import jax
 
     from bvc_tpu.models import videomae
@@ -107,7 +107,7 @@ def probe_vmae(per_device_batch=48, iters=20):
         dtype=np.uint8,
     )
     vid = shard_batch(video, mesh)
-    for accum in (1, 2):
+    for accum in accums:
         state = place_state(
             TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh
         )
@@ -137,4 +137,7 @@ if __name__ == "__main__":
         bs = int(sys.argv[3]) if len(sys.argv) > 3 else 128
         probe_jepa(per_device_batch=bs, accum=accum)
     if which in ("vmae48", "all"):
-        probe_vmae()
+        accum = int(sys.argv[2]) if len(sys.argv) > 2 else None
+        bs = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+        probe_vmae(per_device_batch=bs,
+                   accums=(accum,) if accum else (1, 2))
