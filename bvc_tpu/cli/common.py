@@ -58,6 +58,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--final_wd", type=float, default=-1.0,
                    help="cosine-decay weight decay to this value; <0 = off")
     p.add_argument("--ipe_scale", type=float, default=1.25)
+    p.add_argument("--async_save", type=str, default="n",
+                   help="y: write checkpoints on a background thread "
+                        "(training overlaps serialization; single-host)")
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help=">1: sequential microbatches per optimizer step "
                         "(same effective batch, ~k× less activation "
@@ -88,6 +91,7 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     cfg.param_sharding = args.param_sharding
     # preemption-recovery flags (present on all three pretrain CLIs)
     cfg.save_every_epoch = getattr(args, "save_every_epoch", "n") == "y"
+    cfg.async_save = getattr(args, "async_save", "n") == "y"
     cfg.resume = getattr(args, "resume", "n") == "y"
     cfg.log_grad_stats = getattr(args, "log_grad_stats", "n") == "y"
 

@@ -157,8 +157,14 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 
+    writer = None
+    if cfg.async_save:
+        from bvc_tpu.training.async_checkpoint import AsyncCheckpointWriter
+
+        writer = AsyncCheckpointWriter()
+
     def save(epoch_done: int):
-        save_checkpoint(
+        (writer.save if writer is not None else save_checkpoint)(
             checkpoint_path(folder, cfg.run_id),
             {
                 # raw (possibly non-addressable) arrays: save_checkpoint gathers
@@ -241,6 +247,8 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     # checkpoint ---------------------------------------------------------------
     chpt = checkpoint_path(folder, cfg.run_id)
     save(cfg.n_epoch)
+    if writer is not None:
+        writer.wait()  # the returned path must be complete on disk
     logger.info("checkpoint saved at %s", chpt)
     return {
         "checkpoint": str(chpt),

@@ -274,6 +274,10 @@ class TrainConfig:
     # granularity is the curriculum stage — SURVEY.md §5): checkpoint each
     # epoch and pick up from our own model_{run_id}.ckpt when present
     save_every_epoch: bool = False
+    # overlap checkpoint serialization with training (single-host):
+    # snapshot to host synchronously, write on a background thread
+    # (bvc_tpu.training.async_checkpoint)
+    async_save: bool = False
     resume: bool = False
     n_epoch: int = 1
     max_epoch_iters: int = 0  # 0 → as many as the data allows
