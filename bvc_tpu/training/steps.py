@@ -51,25 +51,74 @@ def _microbatches(tree: Any, k: int) -> Any:
     return jax.tree_util.tree_map(split, tree)
 
 
-def _accumulated_grads(loss_fn_of, params, micro_xs, k: int):
+def _accumulated_grads(loss_fn_of, params, micro_xs, k: int,
+                       mesh: Mesh | None = None, sharded: bool = False):
     """Mean loss and gradients over ``k`` sequential microbatches.
 
     ``loss_fn_of(xs)`` returns a scalar-loss function of ``params`` for
     one microbatch ``xs``.  ``lax.scan`` keeps one microbatch's
     activations live at a time — the point: peak activation memory drops
     ~k× for the same effective batch (the reference has no equivalent;
-    its batch is bounded by per-GPU VRAM)."""
+    its batch is bounded by per-GPU VRAM).
+
+    ``sharded=True`` (replicated params only) runs the accumulation under
+    ``shard_map`` over the ``data`` axis: each shard scans its LOCAL
+    microbatch rows into a local gradient sum and the cross-chip
+    reduction happens ONCE per optimizer step.  Without it the SPMD
+    partitioner places the gradient all-reduce inside the scan body —
+    once per microbatch, k× the ICI traffic (caught by
+    ``tests/test_collectives_analysis.py``; invisible on one chip).
+    Exact for the same reason microbatching itself is exact: equal
+    per-sample loss weights make the global mean decompose into a mean
+    of equal-size shard means.  (With stochastic depth enabled, each
+    microbatch's drop-path draws are shared across data shards on this
+    path — all reference configs run drop-path 0, SURVEY.md §2.4.)
+    """
+    if sharded:
+        # shard_map needs the microbatch rows to split evenly over the
+        # data axis; otherwise fall back to the partitioner-placed path
+        # (correct, but all-reduces per microbatch)
+        data_size = mesh.shape.get("data", 1) if mesh is not None else 1
+        rows = jax.tree_util.tree_leaves(micro_xs)[0].shape[1]
+        sharded = rows % data_size == 0
+
     zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
 
-    def micro(carry, xs):
-        g_acc, loss_acc = carry
-        loss, g = jax.value_and_grad(loss_fn_of(xs))(params)
-        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-        return (g_acc, loss_acc + loss), None
+    def local_accum(p, xs_all):
+        def micro(carry, xs):
+            g_acc, loss_acc = carry
+            loss, g = jax.value_and_grad(loss_fn_of(xs))(p)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            return (g_acc, loss_acc + loss), None
 
-    (g_sum, loss_sum), _ = jax.lax.scan(micro, (zero_g, 0.0), micro_xs)
-    grads = jax.tree_util.tree_map(lambda x: x / k, g_sum)
-    return loss_sum / k, grads
+        return jax.lax.scan(micro, (zero_g, 0.0), xs_all)[0]
+
+    if not sharded:
+        g_sum, loss_sum = local_accum(params, micro_xs)
+        grads = jax.tree_util.tree_map(lambda x: x / k, g_sum)
+        return loss_sum / k, grads
+
+    from jax.experimental.shard_map import shard_map
+
+    from bvc_tpu.parallel.mesh import DATA_AXIS
+
+    def body(p, xs_all):
+        g_sum, loss_sum = local_accum(p, xs_all)
+        # the step's ONE cross-chip gradient reduction
+        grads = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, DATA_AXIS) / k, g_sum
+        )
+        return jax.lax.pmean(loss_sum, DATA_AXIS) / k, grads
+
+    # microbatch leaves are [k, B, ...] with the batch dim sharded
+    micro_specs = jax.tree_util.tree_map(lambda _: P(None, DATA_AXIS), micro_xs)
+    rep_specs = jax.tree_util.tree_map(lambda _: P(), params)
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(rep_specs, micro_specs),
+        out_specs=(P(), rep_specs),
+        check_rep=False,
+    )(params, micro_xs)
 
 
 def _tree_shardings(state: TrainState, mesh: Mesh, param_mode: str):
@@ -153,7 +202,8 @@ def make_videomae_train_step(
                 return loss_fn
 
             loss, grads = _accumulated_grads(
-                loss_fn_of, state.params, micro_xs, grad_accum
+                loss_fn_of, state.params, micro_xs, grad_accum,
+                mesh=mesh, sharded=param_mode == "replicated",
             )
             metrics = {"loss": loss}
         else:
@@ -302,7 +352,8 @@ def make_jepa_train_step(
                 grad_accum,
             )
             loss, grads = _accumulated_grads(
-                loss_fn_of, state.params, micro_xs, grad_accum
+                loss_fn_of, state.params, micro_xs, grad_accum,
+                mesh=mesh, sharded=param_mode == "replicated",
             )
         else:
             loss, grads = jax.value_and_grad(loss_fn_of(batch))(state.params)
@@ -538,8 +589,18 @@ def _jit_over_mesh(step, eval_step, mesh: Mesh, param_mode: str):
             )
         return cache["ejit"](state, batch, jnp.asarray(step_idx, jnp.int32))
 
+    def compiled_text(state: TrainState, batch) -> str:
+        """Optimized HLO of the train step for these shapes — compiles but
+        does NOT execute (feeds :mod:`bvc_tpu.parallel.analysis`)."""
+        st_sh = cache.get("st_sh") or _tree_shardings(state, mesh, param_mode)
+        jitted = jax.jit(
+            step, in_shardings=(st_sh, b_sh), out_shardings=(st_sh, rep)
+        )  # no donation: inspection must not invalidate the caller's state
+        return jitted.lower(state, batch).compile().as_text()
+
     train.eval_step = evaluate  # type: ignore[attr-defined]
     train.shardings = lambda: cache.get("st_sh")  # type: ignore[attr-defined]
+    train.compiled_text = compiled_text  # type: ignore[attr-defined]
     return train
 
 

@@ -1,0 +1,172 @@
+"""Communication accounting (bvc_tpu/parallel/analysis.py): the compiled
+step's collectives must match the layout's expected structure.
+
+The reference cannot make these assertions at all — its communication is
+NCCL calls behind DDP hooks, invisible until a cluster run.  Here the
+SPMD partitioner writes the collectives into the program, so we assert
+the pod-scale communication contract on the virtual 8-device CPU mesh:
+
+- pure DP all-reduces exactly the gradient volume (plus scalar metrics),
+  gathers nothing;
+- grad accumulation keeps every large collective OUT of the scan body —
+  one gradient all-reduce per optimizer step, not per microbatch;
+- FSDP all-gathers parameters and reduce-scatters (or all-reduces)
+  gradients;
+- TP runs activation collectives over model-axis groups.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from bvc_tpu.models import videomae
+from bvc_tpu.parallel import make_mesh, shard_batch
+from bvc_tpu.parallel.analysis import (
+    CollectiveOp,
+    comm_report,
+    parse_collectives,
+    tree_bytes,
+)
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_videomae_train_step, place_state
+from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
+
+_CFG = ModelConfig(
+    image_size=32, patch_size=8, num_frames=4, tubelet_size=2,
+    hidden_size=32, depth=2, num_heads=4,
+    decoder_hidden_size=16, decoder_depth=1, decoder_num_heads=2,
+    dtype="float32",
+)
+# scalar loss/metric reductions are tiny; gradient buffers are not
+_BIG = 1024
+
+
+def _report(param_mode, mesh_shape=None, grad_accum=1):
+    mesh = make_mesh(mesh_shape)
+    tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+    params = videomae.init_params(jax.random.PRNGKey(0), _CFG)
+    state = place_state(
+        TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh, param_mode
+    )
+    step = make_videomae_train_step(
+        mesh, _CFG, MaskConfig(mask_ratio=0.75), tx, param_mode,
+        grad_accum=grad_accum,
+    )
+    data_size = mesh.shape["data"]
+    video = np.random.default_rng(0).standard_normal(
+        (2 * grad_accum * data_size, 4, 32, 32, 3)
+    ).astype(np.float32)
+    batch = shard_batch(video, mesh)
+    text = step.compiled_text(state, batch)
+    return comm_report(text), params, text
+
+
+class TestParser:
+    _HLO = """
+HloModule jit_step
+
+%add.clone (x: f32[], y: f32[]) -> f32[] {
+  %x = f32[] parameter(0)
+  %y = f32[] parameter(1)
+  ROOT %add = f32[] add(%x, %y)
+}
+
+%body (p: (s32[], f32[16,16])) -> (s32[], f32[16,16]) {
+  %p = (s32[], f32[16,16]) parameter(0)
+  %g = f32[16,16]{1,0} get-tuple-element(%p), index=1
+  %ar.loop = f32[16,16]{1,0} all-reduce(%g), channel_id=3, replica_groups=[1,8]<=[8], to_apply=%add.clone
+  ROOT %t = (s32[], f32[16,16]) tuple(%g, %ar.loop)
+}
+
+ENTRY %main (a: f32[16,16]) -> f32[16,16] {
+  %a = f32[16,16]{1,0} parameter(0)
+  %w = (s32[], f32[16,16]) while(%init), condition=%cond, body=%body
+  %ar.2 = (f32[16,16]{1,0}, f32[]) all-reduce(%a, %s), channel_id=1, replica_groups=[1,8]<=[8], use_global_device_ids=true, to_apply=%add.clone
+  %ag = f32[64,16]{1,0} all-gather(%shard), channel_id=2, replica_groups={{0,1,2,3},{4,5,6,7}}, dimensions={0}
+  %done = f32[8,16]{1,0} all-reduce-done(%started)
+  ROOT %r = f32[16,16] get-tuple-element(%ar.2), index=0
+}
+"""
+
+    def test_kinds_bytes_groups_and_loops(self):
+        ops = parse_collectives(self._HLO)
+        kinds = sorted(op.kind for op in ops)
+        assert kinds == ["all-gather", "all-reduce", "all-reduce"]
+        ar_entry = [
+            op for op in ops if op.kind == "all-reduce" and not op.in_loop
+        ]
+        assert len(ar_entry) == 1
+        # tuple payload: 16*16*4 + 4 bytes
+        assert ar_entry[0].payload_bytes == 16 * 16 * 4 + 4
+        assert ar_entry[0].group_size == 8
+        ag = next(op for op in ops if op.kind == "all-gather")
+        assert ag.payload_bytes == 64 * 16 * 4
+        assert ag.group_size == 4  # explicit groups of 4
+        loop = [op for op in ops if op.in_loop]
+        assert len(loop) == 1 and loop[0].computation == "body"
+
+    def test_ring_estimates(self):
+        ar = CollectiveOp("all-reduce", 1000, 8)
+        assert ar.ring_bytes_per_chip == pytest.approx(2 * 7 / 8 * 1000)
+        ag = CollectiveOp("all-gather", 1000, 4)
+        assert ag.ring_bytes_per_chip == pytest.approx(3 / 4 * 1000)
+        rs = CollectiveOp("reduce-scatter", 125, 8)  # shard-shaped result
+        assert rs.ring_bytes_per_chip == pytest.approx(7 * 125)
+        assert CollectiveOp("all-reduce", 1000, 1).ring_bytes_per_chip == 0.0
+
+
+class TestDataParallel:
+    def test_dp_allreduces_grad_volume_and_gathers_nothing(self):
+        report, params, _ = _report("replicated")
+        grad_bytes = tree_bytes(params)
+        ar = report.bytes_for("all-reduce", min_payload=_BIG)
+        # the large all-reduces are exactly the gradient tree (metrics are
+        # scalar); combiner passes may merge or split buffers — bytes, not
+        # counts, are the contract
+        assert ar == pytest.approx(grad_bytes, rel=0.05)
+        assert report.bytes_for("all-gather", min_payload=_BIG) == 0
+        assert report.bytes_for("reduce-scatter", min_payload=_BIG) == 0
+
+    def test_grad_accum_keeps_collectives_out_of_the_scan(self):
+        report, params, text = _report("replicated", grad_accum=4)
+        # the scan must actually be there, or the in-loop check is vacuous
+        assert " while(" in text
+        big_loop_ops = [
+            op for op in report.loop_ops if op.payload_bytes >= _BIG
+        ]
+        assert big_loop_ops == [], (
+            "gradient all-reduce must happen once per optimizer step, not "
+            f"per microbatch: {[(o.kind, o.payload_bytes) for o in big_loop_ops]}"
+        )
+        # and the one-shot gradient reduction is still there, once
+        ar = report.bytes_for("all-reduce", min_payload=_BIG)
+        assert ar == pytest.approx(tree_bytes(params), rel=0.05)
+
+
+class TestFsdp:
+    def test_fsdp_gathers_params_and_scatters_grads(self):
+        report, params, _ = _report("fsdp")
+        # parameters are gathered on use (fwd + bwd recompute paths)
+        assert report.bytes_for("all-gather", min_payload=_BIG) > 0
+        # gradients return sharded: reduce-scatter (or a partitioner
+        # fallback of all-reduce + slice)
+        rs = report.bytes_for("reduce-scatter", min_payload=_BIG)
+        ar = report.bytes_for("all-reduce", min_payload=_BIG)
+        assert rs > 0 or ar > 0
+
+
+class TestTensorParallel:
+    def test_tp_collectives_run_over_model_groups(self):
+        report, _, _ = _report("tp", mesh_shape={"data": 4, "model": 2})
+        model_ops = [
+            op for op in report.ops
+            if op.group_size == 2 and op.payload_bytes >= _BIG
+        ]
+        assert model_ops, "TP must reduce activations over the model axis"
+        # DP gradient reduction still present over the 4-way data axis
+        data_ops = [
+            op for op in report.ops
+            if op.group_size in (4, 8) and op.payload_bytes >= _BIG
+        ]
+        assert data_ops
