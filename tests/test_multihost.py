@@ -95,6 +95,22 @@ with mesh:
         losses.append(float(np.asarray(metrics["loss"].addressable_data(0))))
 out["step_losses"] = losses
 
+# gradient accumulation over the CROSS-PROCESS mesh: the shard_map
+# partial-sum path (one gradient reduction per optimizer step,
+# tests/test_collectives_analysis.py) must run across process
+# boundaries and reproduce the single-shot loss (identical masks: both
+# steps sample from the same state rng over the same global batch)
+state_a = place_state(TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh)
+step_a = make_videomae_train_step(mesh, cfg, MaskConfig(mask_ratio=0.75), tx,
+                                  grad_accum=2)
+state_s = place_state(TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh)
+step_s = make_videomae_train_step(mesh, cfg, MaskConfig(mask_ratio=0.75), tx)
+with mesh:
+    _, m_a = step_a(state_a, batch)
+    _, m_s = step_s(state_s, batch)
+    out["accum_loss"] = float(np.asarray(m_a["loss"].addressable_data(0)))
+    out["single_loss"] = float(np.asarray(m_s["loss"].addressable_data(0)))
+
 # FSDP-sharded save -> restore -> resume cycle (VERDICT r2 #4): host 0
 # alone cannot materialise non-addressable shards, so save_checkpoint
 # must run an all-host distributed save; the restored state must resume
@@ -237,6 +253,11 @@ def test_two_process_collectives(tmp_path):
     assert l0 == l1
     assert all(x == x and abs(x) < 1e6 for x in l0)  # finite
     assert l0[1] != l0[0]  # params actually updated
+
+    # cross-process grad accumulation == single-shot (same masks)
+    for o in outs:
+        assert o["accum_loss"] == pytest.approx(o["single_loss"], rel=1e-5)
+    assert by_rank[0]["accum_loss"] == by_rank[1]["accum_loss"]
 
     # FSDP checkpoint cycle: the saved state really had non-addressable
     # shards (host-0-only np.asarray would have thrown), the save
