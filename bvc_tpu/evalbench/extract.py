@@ -93,19 +93,35 @@ def _jit_embed(core: Callable, params_tree: Any, mesh) -> Callable:
     return fn
 
 
+def _feature_dim(family: str, model_cfg: ModelConfig) -> int:
+    """Embedding width of a family's extractor — lets an all-empty sweep
+    still report a correctly-shaped ``(0, D)`` result."""
+    if family == "simclr":
+        from bvc_tpu.models import resnet
+
+        return resnet.feature_dim(model_cfg.architecture or "resnet18")
+    return model_cfg.hidden_size
+
+
+def _with_dim(fn: Callable, family: str, model_cfg: ModelConfig) -> Callable:
+    fn.feature_dim = _feature_dim(family, model_cfg)
+    return fn
+
+
 def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
                   mesh=None) -> Callable:
     """Load the checkpoint and return ``fn(video_batch) → [B, D]``,
-    optionally data-parallel over ``mesh`` (see :func:`_jit_embed`)."""
+    optionally data-parallel over ``mesh`` (see :func:`_jit_embed`);
+    ``fn.feature_dim`` carries the embedding width."""
     restored = load_checkpoint(ckpt_path)
     if family == "videomae":
         from bvc_tpu.models import videomae
 
         params = restored["model_state_dict"]
-        return _jit_embed(
+        return _with_dim(_jit_embed(
             lambda prm, video: videomae.embed(prm, video, model_cfg),
             jax.tree_util.tree_map(np.asarray, params), mesh,
-        )
+        ), family, model_cfg)
     if family == "jepa":
         from bvc_tpu.models import jepa as jepa_model
 
@@ -114,10 +130,10 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
         # loads checkpoint['encoder'] (compute_embeddings_jepa.py:87-89,
         # helper.py:36-38); the EMA target is never used for embeddings
         enc = restored.get("encoder", restored.get("target_encoder"))
-        return _jit_embed(
+        return _with_dim(_jit_embed(
             lambda prm, video: jepa_model.embed(prm, video, model_cfg),
             jax.tree_util.tree_map(np.asarray, enc), mesh,
-        )
+        ), family, model_cfg)
     if family == "simclr":
         from bvc_tpu.models import resnet
 
@@ -135,7 +151,7 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
             np.asarray,
             {"params": restored["model_state_dict"], "stats": restored["batch_stats"]},
         )
-        return _jit_embed(_embed, tree, mesh)
+        return _with_dim(_jit_embed(_embed, tree, mesh), family, model_cfg)
     raise ValueError(f"unknown family {family!r}")
 
 
@@ -147,26 +163,26 @@ def untrained_embed_fn(family: str, model_cfg: ModelConfig, seed: int = 0,
         from bvc_tpu.models import videomae
 
         params = videomae.init_params(jax.random.PRNGKey(seed), model_cfg)
-        return _jit_embed(
+        return _with_dim(_jit_embed(
             lambda prm, v: videomae.embed(prm, v, model_cfg), params, mesh
-        )
+        ), family, model_cfg)
     if family == "jepa":
         from bvc_tpu.models import jepa as jepa_model
 
         params = jepa_model.init_encoder_params(jax.random.PRNGKey(seed), model_cfg)
-        return _jit_embed(
+        return _with_dim(_jit_embed(
             lambda prm, v: jepa_model.embed(prm, v, model_cfg), params, mesh
-        )
+        ), family, model_cfg)
     if family == "simclr":
         from bvc_tpu.models import resnet
 
         arch = model_cfg.architecture or "resnet18"
         params, stats = resnet.init_params(jax.random.PRNGKey(seed), arch)
-        return _jit_embed(
+        return _with_dim(_jit_embed(
             lambda tree, v: resnet.apply(tree["params"], tree["stats"], v[:, -1],
                                          arch, training=False, with_head=False)[0],
             {"params": params, "stats": stats}, mesh,
-        )
+        ), family, model_cfg)
     raise ValueError(family)
 
 
@@ -283,7 +299,7 @@ def extract_embeddings(
     local = {
         "fnames": fnames,
         "embeddings": np.concatenate(embs) if embs
-        else np.zeros((0, 1), np.float32),
+        else np.zeros((0, getattr(embed_fn, "feature_dim", 1)), np.float32),
     }
     gathered = all_gather_objects(local)
     return merge_gathered(gathered)

@@ -219,10 +219,11 @@ def comm_report(compiled: Any) -> CommReport:
 
 def tree_bytes(tree: Any) -> int:
     """Total byte size of a pytree's array leaves (grad-volume yardstick)."""
+    import jax
     import numpy as np
 
     total = 0
-    for leaf in __import__("jax").tree_util.tree_leaves(tree):
+    for leaf in jax.tree_util.tree_leaves(tree):
         shape = getattr(leaf, "shape", None)
         dtype = getattr(leaf, "dtype", None)
         if shape is None or dtype is None:

@@ -359,6 +359,22 @@ class TestMeshShardedExtraction:
         names, embs = merge_gathered([empty, empty])
         assert names == [] and embs.shape[0] == 0 and embs.ndim == 2
 
+    def test_empty_dataset_keeps_true_feature_dim(self):
+        # an all-empty sweep must still report (0, D), not (0, 1):
+        # untrained_embed_fn carries fn.feature_dim (ADVICE r2 #4)
+        from bvc_tpu.evalbench.extract import extract_embeddings, untrained_embed_fn
+        from bvc_tpu.parallel import make_mesh
+        from bvc_tpu.utils.config import ModelConfig
+
+        cfg = ModelConfig(family="jepa", image_size=16, patch_size=8,
+                          num_frames=2, tubelet_size=1, hidden_size=24,
+                          depth=1, num_heads=2, dtype="float32")
+        fn = untrained_embed_fn("jepa", cfg, seed=0)
+        assert fn.feature_dim == 24
+        names, embs = extract_embeddings(fn, self._FakeDs(0, (2, 16, 16, 3)),
+                                         batch_size=4, mesh=make_mesh())
+        assert names == [] and embs.shape == (0, 24)
+
 
 class TestUCF101ClipIndex:
     """VERDICT r1 #8: cached clip index + torchvision VideoClips
