@@ -55,6 +55,17 @@ from bvc_tpu.utils.config import ModelConfig
 
 def init_params(key, cfg: ModelConfig) -> dict:
     """Parameter pytree for the full pretraining model."""
+    if cfg.architecture not in ("base",):
+        # the reference defines only 'base' (get_config,
+        # pretrain_videomae.py:43-64 — any other name dies on an
+        # undefined config there); custom sizes here are expressed via
+        # the explicit dim fields, so a stray size KEY would otherwise
+        # silently build ViT-B
+        raise ValueError(
+            f"videomae architecture {cfg.architecture!r} is not defined; "
+            "only 'base' exists (set explicit hidden_size/depth/... for "
+            "custom sizes)"
+        )
     ks = jax.random.split(key, 6)
     p, ts, c = cfg.patch_size, cfg.tubelet_size, cfg.in_channels
     patch_dim = ts * p * p * c

@@ -58,6 +58,18 @@ class TestTubeMask:
             assert not m[b][vis[b]].any() and m[b][msk[b]].all()
 
 
+class TestArchGuard:
+    def test_unknown_architecture_raises(self):
+        # only 'base' exists (reference get_config defines nothing else,
+        # pretrain_videomae.py:43-64); a stray size key must not silently
+        # build ViT-B
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="architecture"):
+            videomae.init_params(jax.random.PRNGKey(0),
+                                 tiny_cfg(architecture="tiny"))
+
+
 class TestTargets:
     def test_norm_pix_per_channel_unbiased(self):
         cfg = tiny_cfg(norm_pix_loss=True)
