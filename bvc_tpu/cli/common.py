@@ -41,7 +41,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default="",
                    help="e.g. 'data=8' or 'data=4,model=2'; empty = all data")
     p.add_argument("--param_sharding", type=str, default="replicated",
-                   choices=["replicated", "fsdp", "tp"])
+                   choices=["replicated", "zero1", "fsdp", "tp"],
+                   help="zero1: replicated params + data-sharded optimizer "
+                        "state (collective-free forwards, ~1/S momentum "
+                        "memory — see SCALING.md)")
     p.add_argument("--control_data_root", type=str, default="")
     p.add_argument("--segment_minutes", type=float, default=30.0,
                    help="fold segment length in minutes (reference: 30)")

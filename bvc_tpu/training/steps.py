@@ -123,14 +123,28 @@ def _accumulated_grads(loss_fn_of, params, micro_xs, k: int,
 
 def _tree_shardings(state: TrainState, mesh: Mesh, param_mode: str):
     """Shardings for the whole TrainState (params rule applied to params,
-    opt state mirrors params where shapes match, scalars replicated)."""
+    opt state mirrors params where shapes match, scalars replicated).
+
+    ``'zero1'``: params stay replicated (every forward is collective-free
+    — unlike FSDP, which re-gathers per use and costs JEPA 2.4 GB of
+    all-gathers/step, SCALING.md) while the OPTIMIZER state is sharded
+    over ``data`` with the FSDP layout rule — the ZeRO-1 trade: momentum
+    memory drops ~(1−1/S)×, the update math is sliced per shard by the
+    partitioner, and the only added communication is the updated-params
+    all-gather it can fuse with the gradient reduction."""
+    opt_rule_mode = param_mode
+    if param_mode == "zero1":
+        param_mode, opt_rule_mode = "replicated", "fsdp"
     p_sh = param_shardings(state.params, mesh, param_mode)
     rep = NamedSharding(mesh, P())
 
     # opt_state contains pytrees shaped like params (momentum etc.) plus
     # scalars; map params-shaped leaves to the params sharding by shape.
     flat_p, _ = jax.tree_util.tree_flatten(state.params)
-    flat_sh, _ = jax.tree_util.tree_flatten(p_sh)
+    flat_sh, _ = jax.tree_util.tree_flatten(
+        param_shardings(state.params, mesh, opt_rule_mode)
+        if opt_rule_mode != param_mode else p_sh
+    )
     shape_to_sh = {}
     for leaf, sh in zip(flat_p, flat_sh):
         shape_to_sh.setdefault((leaf.shape, leaf.dtype), sh)
@@ -203,7 +217,7 @@ def make_videomae_train_step(
 
             loss, grads = _accumulated_grads(
                 loss_fn_of, state.params, micro_xs, grad_accum,
-                mesh=mesh, sharded=param_mode == "replicated",
+                mesh=mesh, sharded=param_mode in ("replicated", "zero1"),
             )
             metrics = {"loss": loss}
         else:
@@ -353,7 +367,7 @@ def make_jepa_train_step(
             )
             loss, grads = _accumulated_grads(
                 loss_fn_of, state.params, micro_xs, grad_accum,
-                mesh=mesh, sharded=param_mode == "replicated",
+                mesh=mesh, sharded=param_mode in ("replicated", "zero1"),
             )
         else:
             loss, grads = jax.value_and_grad(loss_fn_of(batch))(state.params)

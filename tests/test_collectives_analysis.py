@@ -144,6 +144,22 @@ class TestDataParallel:
         assert ar == pytest.approx(tree_bytes(params), rel=0.05)
 
 
+class TestZero1:
+    def test_zero1_adds_only_the_param_allgather(self):
+        # ZeRO-1: grads still all-reduced (or reduce-scattered), plus ONE
+        # param-volume all-gather for the updated params; params are
+        # never gathered on use (that would be FSDP's 2x-per-pass cost)
+        report, params, _ = _report("zero1")
+        grad_bytes = tree_bytes(params)
+        ar = report.bytes_for("all-reduce", min_payload=_BIG)
+        rs = report.bytes_for("reduce-scatter", min_payload=_BIG)
+        assert ar + rs * 8 >= grad_bytes * 0.9  # reduction of grad volume
+        ag = report.bytes_for("all-gather", min_payload=_BIG)
+        # ~one param volume of gather (updated params), not the several
+        # volumes FSDP pays across fwd/bwd passes
+        assert grad_bytes * 0.5 <= ag <= grad_bytes * 1.5
+
+
 class TestFsdp:
     def test_fsdp_gathers_params_and_scatters_grads(self):
         report, params, _ = _report("fsdp")

@@ -84,6 +84,45 @@ class TestParamShardingModes:
         b = self._run(mesh, "fsdp")
         np.testing.assert_allclose(a, b, rtol=1e-4)
 
+    def test_zero1_matches_replicated(self):
+        # ZeRO-1: replicated params, data-sharded optimizer state — same
+        # losses, momentum memory sharded
+        mesh = make_mesh()
+        a = self._run(mesh, "replicated")
+        b = self._run(mesh, "zero1")
+        np.testing.assert_allclose(a, b, rtol=1e-4)
+
+    def test_zero1_shards_opt_state_only(self):
+        mesh = make_mesh()
+        cfg = ModelConfig(
+            image_size=32, patch_size=8, num_frames=4, tubelet_size=2,
+            hidden_size=32, depth=2, num_heads=4,
+            decoder_hidden_size=16, decoder_depth=1, decoder_num_heads=2,
+            dtype="float32",
+        )
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        state = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(1)), mesh, "zero1"
+        )
+        # every param fully replicated on all devices
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.sharding.is_fully_replicated
+        # at least the big momentum leaves are sharded over 'data'
+        sharded = [
+            leaf for leaf in jax.tree_util.tree_leaves(state.opt_state)
+            if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+        ]
+        assert sharded, "zero1 must shard optimizer state"
+        # and the step runs + updates params
+        step = make_videomae_train_step(
+            mesh, cfg, MaskConfig(mask_ratio=0.75), tx, "zero1"
+        )
+        video = np.random.default_rng(0).standard_normal(
+            (16, 4, 32, 32, 3)).astype(np.float32)
+        state2, metrics = step(state, shard_batch(video, mesh))
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_fsdp_state_checkpoint_roundtrip_single_process(self, tmp_path):
         # single-process FSDP state (sharded over 8 local devices, fully
         # addressable) goes through save_checkpoint's host-gather path;
