@@ -48,6 +48,7 @@ class TestDryrunMultichip:
         out = capfd.readouterr().out
         assert "mode=tp" in out and "loss=" in out
         assert "mode=fsdp" in out
-        # both passes reported finite losses
-        assert out.count("dryrun_multichip ok") == 3
+        assert "mode=zero1" in out
+        # all passes reported finite losses
+        assert out.count("dryrun_multichip ok") == 4
         assert "family=jepa" in out
