@@ -70,8 +70,11 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Scaled dot-product attention over ``[B, N, h, d]`` tensors.
 
-    ``impl``: 'auto' | 'xla' | 'xla_bf16' | 'flash'.  'auto' picks flash
-    on TPU for long unmasked sequences and XLA otherwise.  ``key_mask``
+    ``impl``: 'auto' | 'xla' | 'xla_bf16' | 'flash' | 'ring:<axis>'.
+    'auto' picks flash on TPU for long unmasked sequences and XLA
+    otherwise.  'ring:<axis>' is sequence-parallel attention for callers
+    inside ``shard_map`` whose token axis is sharded over mesh axis
+    ``<axis>`` (:mod:`bvc_tpu.ops.ring_attention`).  ``key_mask``
     (``[B, N]`` bool, True = valid) makes padded tokens invisible to
     every query — the static-shape JEPA mask padding; masked 'auto'
     stays on XLA (measured faster end-to-end), while ``impl='flash'``
@@ -90,6 +93,15 @@ def multi_head_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if impl.startswith("ring:"):
+        # sequence-parallel attention: q/k/v are this shard's block of a
+        # sequence sharded over the named mesh axis (call sites live
+        # inside shard_map — bvc_tpu/parallel/seqpar.py)
+        from bvc_tpu.ops.ring_attention import ring_attention
+
+        return ring_attention(
+            q, k, v, impl.split(":", 1)[1], scale=scale, key_mask=key_mask
+        )
     n = q.shape[1]
     if impl == "xla_bf16":
         on_tpu = jax.default_backend() == "tpu"

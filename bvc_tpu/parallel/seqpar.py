@@ -1,0 +1,311 @@
+"""Sequence(time)-parallel VideoMAE — long-clip training and extraction.
+
+The reference never needs sequence parallelism: its longest sequence is
+the 1568-token VideoMAE grid (SURVEY.md §5 "Long-context: none").  This
+module is the beyond-parity extension point that section names — train
+and embed clips whose token count exceeds what one chip's attention can
+hold, by sharding the TIME axis over a ``seq`` mesh axis.
+
+Why exactness is structural here: tube masking draws ONE spatial mask
+per sample and tiles it across every temporal sheet
+(``generative/mask.py:3-24``; :func:`bvc_tpu.masks.tube.tube_mask`), so
+every time shard keeps an identical, static count of visible tokens —
+locality and static shapes survive the sharding.  Per shard the step
+runs patchify → encoder → decoder → norm-pix loss on its own sheets;
+the only cross-shard communication is
+
+- ring attention over the ``seq`` axis (:mod:`bvc_tpu.ops.ring_attention`)
+  inside the encoder (visible tokens) and decoder (full grid), and
+- one ``pmean`` for the loss/gradients.
+
+The result is mathematically the single-chip step: attention is over the
+same global key set (softmax is permutation-invariant in its keys), the
+norm-pix targets are per-patch local, and equal per-shard masked counts
+make the mean-of-local-means exact.  Equivalence vs
+:func:`bvc_tpu.models.videomae.pretrain_loss` and the GSPMD train step
+is tested on the 8-device CPU mesh (tests/test_seqpar.py).
+
+Sharding layout: ``video [B, T, H, W, C]`` with B over ``data`` and T
+over ``seq``; params/optimizer state replicated (compose with ZeRO-1 at
+larger scale).  Per-chip attention memory falls from O(N²) to O((N/S)²)
+and activation memory by S×, which is what admits e.g. 64-frame 224px
+clips (6272 tokens) that OOM the single-chip step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bvc_tpu.parallel.mesh import DATA_AXIS
+from bvc_tpu.utils.config import MaskConfig, ModelConfig
+
+SEQ_AXIS = "seq"
+
+
+def make_seq_mesh(data: int, seq: int, devices=None) -> Mesh:
+    """``(data, seq)`` mesh; ``seq`` innermost so KV ring hops ride
+    nearest-neighbor ICI links.  Uses the first ``data*seq`` devices when
+    ``devices`` is not given (the mesh may be smaller than the backend)."""
+    from bvc_tpu.parallel.mesh import make_mesh
+
+    if devices is None:
+        devices = jax.devices()[: data * seq]
+    return make_mesh({DATA_AXIS: data, SEQ_AXIS: seq}, devices=devices)
+
+
+def shard_seq_batch(video: Any, mesh: Mesh) -> Any:
+    """Place ``[B, T, ...]`` with B over ``data`` and T over ``seq``."""
+    sh = NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
+    return jax.device_put(video, sh)
+
+
+def _check_mesh(mesh: Mesh):
+    if DATA_AXIS not in mesh.axis_names or SEQ_AXIS not in mesh.axis_names:
+        raise ValueError(
+            f"sequence-parallel steps need a ('{DATA_AXIS}', '{SEQ_AXIS}') "
+            f"mesh, got axes {mesh.axis_names}"
+        )
+
+
+def _seq_size(mesh: Mesh) -> int:
+    return mesh.shape[SEQ_AXIS]
+
+
+def _local_sheets(cfg: ModelConfig, n_shards: int) -> int:
+    t = cfg.num_time_steps
+    if t % n_shards:
+        raise ValueError(
+            f"{t} temporal sheets do not split over {n_shards} seq shards "
+            "(num_frames/tubelet_size must be divisible by the seq axis)"
+        )
+    return t // n_shards
+
+
+def _local_pos_rows(table: np.ndarray, n_shards: int) -> jnp.ndarray:
+    """[N, D] global sinusoid table → this shard's [N/S, D] rows (token
+    order is t-major, so a time shard's tokens are contiguous rows)."""
+    n, d = table.shape
+    table_r = jnp.asarray(table.reshape(n_shards, n // n_shards, d))
+    return table_r[jax.lax.axis_index(SEQ_AXIS)]
+
+
+def _local_tube_masks(mask_rng, b_local: int, t_local: int, n_space: int,
+                      n_masked_space: int):
+    """This data-shard's rows of the global tube mask, tiled over the
+    LOCAL sheets — bitwise the (data, seq) block of what
+    ``tube_mask(mask_rng, B_global, (T, h, w), ratio)`` samples, because
+    the spatial frame never depends on T."""
+    d_idx = jax.lax.axis_index(DATA_AXIS)
+    b_global = b_local * jax.lax.axis_size(DATA_AXIS)
+    keys = jax.random.split(mask_rng, b_global)
+    local_keys = jax.lax.dynamic_slice_in_dim(keys, d_idx * b_local, b_local)
+
+    def one_frame(k):
+        perm = jax.random.permutation(k, n_space)
+        return jnp.zeros((n_space,), jnp.bool_).at[perm[:n_masked_space]].set(True)
+
+    frames = jax.vmap(one_frame)(local_keys)
+    return jnp.tile(frames, (1, t_local))
+
+
+def _local_pretrain_loss(
+    params: dict,
+    video_local: jnp.ndarray,
+    mask_local: jnp.ndarray,
+    cfg: ModelConfig,
+    num_visible_local: int,
+    enc_pos_local: jnp.ndarray,
+    dec_pos_local: jnp.ndarray,
+) -> jnp.ndarray:
+    """This shard's mean masked-patch loss over its own sheets.
+
+    Mirrors :func:`bvc_tpu.models.videomae.pretrain_loss` =
+    ``encode_visible`` + ``decode_masked`` + ``patch_targets`` with two
+    sequence-parallel substitutions: position tables are this shard's
+    rows, and both stacks attend with ``ring:seq``.
+    """
+    from bvc_tpu.masks.tube import mask_partition
+    from bvc_tpu.models.videomae import (
+        _compute_dtype, normalize_on_device, patch_targets,
+    )
+    from bvc_tpu.models.vit import layer_norm, run_blocks
+    from bvc_tpu.ops.patchify import patchify_pixels
+
+    dtype = _compute_dtype(cfg)
+    video = normalize_on_device(video_local)
+    visible_idx, masked_idx = mask_partition(mask_local, num_visible_local)
+
+    # ---- encoder on this shard's visible tokens (ring attention) ----
+    patches = patchify_pixels(video, cfg.tubelet_size, cfg.patch_size)
+    vis_px = jnp.take_along_axis(patches, visible_idx[..., None], axis=1).astype(dtype)
+    pe = params["patch_embed"]
+    x = jnp.dot(vis_px, pe["kernel"].astype(dtype), preferred_element_type=dtype)
+    x = x + pe["bias"].astype(dtype)
+    b = video.shape[0]
+    enc_pos = jnp.broadcast_to(
+        enc_pos_local.astype(dtype)[None], (b,) + enc_pos_local.shape
+    )
+    x = x + jnp.take_along_axis(enc_pos, visible_idx[..., None], axis=1)
+    x = run_blocks(
+        params["encoder"], x, cfg.num_heads, cfg.layer_norm_eps, cfg.remat,
+        attn_impl=f"ring:{SEQ_AXIS}", unroll=cfg.depth <= 12,
+    )
+
+    # ---- decoder over this shard's full grid (ring attention) ----
+    z = jnp.dot(
+        x, params["enc_to_dec"]["kernel"].astype(dtype), preferred_element_type=dtype
+    )
+    dec_pos = jnp.broadcast_to(
+        dec_pos_local.astype(dtype)[None], (b,) + dec_pos_local.shape
+    )
+    pos_vis = jnp.take_along_axis(dec_pos, visible_idx[..., None], axis=1)
+    pos_mask = jnp.take_along_axis(dec_pos, masked_idx[..., None], axis=1)
+    mask_tok = params["mask_token"].astype(dtype)
+    y = jnp.concatenate([z + pos_vis, mask_tok + pos_mask], axis=1)
+    y = run_blocks(
+        params["decoder"], y, cfg.decoder_num_heads, cfg.layer_norm_eps, cfg.remat,
+        attn_impl=f"ring:{SEQ_AXIS}", unroll=cfg.decoder_depth <= 4,
+    )
+    y = y[:, -masked_idx.shape[1]:]
+    y = layer_norm(y, params["decoder_norm"], cfg.layer_norm_eps)
+    head = params["decoder_head"]
+    preds = jnp.dot(
+        y, head["kernel"].astype(dtype), preferred_element_type=dtype
+    ) + head["bias"].astype(dtype)
+
+    # ---- per-patch-local norm-pix targets + local mean ----
+    targets = patch_targets(video, cfg, masked_idx)
+    return jnp.mean(
+        jnp.square(preds.astype(jnp.float32) - targets.astype(jnp.float32))
+    )
+
+
+def make_seq_videomae_train_step(
+    mesh: Mesh,
+    model_cfg: ModelConfig,
+    mask_cfg: MaskConfig,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """Sequence-parallel twin of
+    :func:`bvc_tpu.training.steps.make_videomae_train_step`: same
+    ``step(state, video) -> (state, metrics)`` contract, same mask
+    sampling from ``state.rng`` (equivalence-tested), video sharded
+    ``[B@data, T@seq, H, W, C]`` (:func:`shard_seq_batch`).
+
+    Tube masks only: the random sampler has no per-sheet count invariant,
+    so its visible-token shapes are not static per shard.
+    """
+    _check_mesh(mesh)
+    if mask_cfg.sampler != "tube":
+        raise ValueError(
+            "sequence-parallel VideoMAE requires the tube sampler (its "
+            "per-sheet visible count is what keeps shard shapes static); "
+            f"got {mask_cfg.sampler!r}"
+        )
+    from bvc_tpu.models.videomae import pos_tables
+    from bvc_tpu.training.optim import apply_gradients
+    from bvc_tpu.training.probes import videomae_grad_metrics
+    from bvc_tpu.training.state import TrainState
+
+    n_shards = _seq_size(mesh)
+    t_local = _local_sheets(model_cfg, n_shards)
+    hw = model_cfg.image_size // model_cfg.patch_size
+    n_space = hw * hw
+    n_masked_space = int(mask_cfg.mask_ratio * n_space)
+    num_visible_local = (n_space - n_masked_space) * t_local
+    enc_table, dec_table = pos_tables(model_cfg)
+
+    def local_step(state: TrainState, video_local: jnp.ndarray):
+        rng, mask_rng = jax.random.split(state.rng)
+        mask_local = _local_tube_masks(
+            mask_rng, video_local.shape[0], t_local, n_space, n_masked_space
+        )
+        enc_pos = _local_pos_rows(enc_table, n_shards)
+        dec_pos = _local_pos_rows(dec_table, n_shards)
+
+        def loss_fn(params):
+            return _local_pretrain_loss(
+                params, video_local, mask_local, model_cfg,
+                num_visible_local, enc_pos, dec_pos,
+            )
+
+        loss_local, grads_local = jax.value_and_grad(loss_fn)(state.params)
+        # equal per-shard masked counts → mean of local means is exact
+        loss = jax.lax.pmean(loss_local, (DATA_AXIS, SEQ_AXIS))
+        grads = jax.lax.pmean(grads_local, (DATA_AXIS, SEQ_AXIS))
+        params, opt_state = apply_gradients(tx, grads, state.opt_state, state.params)
+        metrics = {"loss": loss}
+        metrics.update(videomae_grad_metrics(grads))
+        return (
+            TrainState(
+                step=state.step + 1, params=params, opt_state=opt_state,
+                rng=rng, target_params=state.target_params, extra=state.extra,
+            ),
+            metrics,
+        )
+
+    video_spec = P(DATA_AXIS, SEQ_AXIS)
+    return jax.jit(
+        jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), video_spec), out_specs=(P(), P()),
+            # explicit-reduction style (as training/steps.py
+            # _accumulated_grads): with vma checking on, AD would ALSO
+            # auto-psum the cotangents at the replicated-params boundary
+            # and the explicit pmean below would double-count by the
+            # shard count (caught by tests/test_seqpar.py)
+            check_vma=False,
+        )
+    )
+
+
+def make_seq_embed_fn(mesh: Mesh, cfg: ModelConfig) -> Callable:
+    """Sequence-parallel twin of :func:`bvc_tpu.models.videomae.embed`
+    (the classifier-head pooled embedding,
+    ``benchmarks/compute_embeddings_videomae.py:78-96`` semantics) for
+    clips too long for single-chip attention.  ``embed(params, video)``
+    with video sharded by :func:`shard_seq_batch`; returns ``[B, D]``.
+    """
+    _check_mesh(mesh)
+    n_shards = _seq_size(mesh)
+    _local_sheets(cfg, n_shards)  # divisibility check
+    from bvc_tpu.models.videomae import _compute_dtype, normalize_on_device, pos_tables
+    from bvc_tpu.models.vit import run_blocks
+    from bvc_tpu.ops.patchify import patchify_pixels
+
+    enc_table, _ = pos_tables(cfg)
+    n_total = cfg.seq_len
+
+    def local_embed(params: dict, video_local: jnp.ndarray) -> jnp.ndarray:
+        dtype = _compute_dtype(cfg)
+        video = normalize_on_device(video_local)
+        patches = patchify_pixels(video, cfg.tubelet_size, cfg.patch_size).astype(dtype)
+        pe = params["patch_embed"]
+        x = jnp.dot(patches, pe["kernel"].astype(dtype), preferred_element_type=dtype)
+        x = x + pe["bias"].astype(dtype)
+        x = x + _local_pos_rows(enc_table, n_shards).astype(dtype)[None]
+        x = run_blocks(
+            params["encoder"], x, cfg.num_heads, cfg.layer_norm_eps, cfg.remat,
+            attn_impl=f"ring:{SEQ_AXIS}", unroll=cfg.depth <= 12,
+        )
+        # global mean over tokens, then the parameterless fc_norm
+        pooled = jax.lax.psum(
+            jnp.sum(x.astype(jnp.float32), axis=1), SEQ_AXIS
+        ) / n_total
+        mean = jnp.mean(pooled, axis=-1, keepdims=True)
+        var = jnp.var(pooled, axis=-1, keepdims=True)
+        return (pooled - mean) * jax.lax.rsqrt(var + 1e-6)
+
+    return jax.jit(
+        jax.shard_map(
+            local_embed, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, SEQ_AXIS)),
+            out_specs=P(DATA_AXIS),
+        )
+    )

@@ -38,16 +38,20 @@ class TestTimed:
         fn = lambda p, xx: jnp.tanh(xx @ p)  # noqa: E731
         g = jax.jit(fn)
         g(w, x).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(8):
-            r = g(w, x)
-        r.block_until_ready()
-        gt = (time.perf_counter() - t0) / 8 * 1e3
+        # min over repeats: the box is 1-core and the full suite loads it,
+        # so any single wall-clock sample can be several x off
+        gt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                r = g(w, x)
+            r.block_until_ready()
+            gt = min(gt, (time.perf_counter() - t0) / 8 * 1e3)
 
-        t = timed(fn, w, x)
-        # generous bounds: the box is 1-core and noisy; the failure modes
-        # this guards against read ~0.01 ms (1000x off), not 3x
-        assert 0.2 * gt < t < 5.0 * gt + 1.0, (t, gt)
+        t = min(timed(fn, w, x) for _ in range(2))
+        # generous bounds: the failure modes this guards against read
+        # ~0.01 ms (1000x off), not 10x
+        assert 0.05 * gt < t < 10.0 * gt + 2.0, (t, gt)
 
     def test_backward_pass_is_not_dce_eliminated(self):
         import jax

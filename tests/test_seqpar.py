@@ -1,0 +1,117 @@
+"""Sequence-parallel VideoMAE (bvc_tpu/parallel/seqpar.py) vs the
+single-chip / GSPMD paths.
+
+Beyond-parity capability (SURVEY.md §5 names sequence sharding as the
+natural long-clip extension point; the reference itself has none): the
+time-sharded step must be the SAME computation as the data-parallel
+step — same masks from the same rng, same loss, same updated params.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bvc_tpu.models import videomae
+from bvc_tpu.parallel import make_mesh, shard_batch
+from bvc_tpu.parallel.seqpar import (
+    make_seq_embed_fn,
+    make_seq_mesh,
+    make_seq_videomae_train_step,
+    shard_seq_batch,
+)
+from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.state import TrainState
+from bvc_tpu.training.steps import make_videomae_train_step, place_state
+from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
+
+
+def _tiny_cfg(num_frames=8):
+    return ModelConfig(
+        image_size=32, patch_size=8, num_frames=num_frames, tubelet_size=2,
+        hidden_size=32, depth=2, num_heads=4,
+        decoder_hidden_size=16, decoder_depth=1, decoder_num_heads=2,
+        dtype="float32",
+    )
+
+
+def _video(rng, b=8, t=8, s=32):
+    return rng.integers(0, 255, (b, t, s, s, 3), dtype=np.uint8)
+
+
+class TestSeqParallelStep:
+    @pytest.mark.parametrize("data,seq", [(2, 4), (4, 2), (1, 4)])
+    def test_step_matches_gspmd_data_parallel(self, rng, data, seq):
+        cfg = _tiny_cfg()
+        mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.5)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = _video(rng)
+
+        mesh_dp = make_mesh()
+        state_a = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(7)), mesh_dp
+        )
+        step_a = make_videomae_train_step(mesh_dp, cfg, mask_cfg, tx)
+        state_a, metrics_a = step_a(state_a, shard_batch(video, mesh_dp))
+
+        mesh_sp = make_seq_mesh(data, seq)
+        state_b = TrainState.create(params, tx, jax.random.PRNGKey(7))
+        step_b = make_seq_videomae_train_step(mesh_sp, cfg, mask_cfg, tx)
+        state_b, metrics_b = step_b(state_b, shard_seq_batch(video, mesh_sp))
+
+        assert float(metrics_b["loss"]) == pytest.approx(
+            float(metrics_a["loss"]), abs=2e-5
+        )
+        flat_a = jax.tree_util.tree_leaves(state_a.params)
+        flat_b = jax.tree_util.tree_leaves(state_b.params)
+        for la, lb in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-5
+            )
+
+    def test_multi_step_loss_decreases(self, rng):
+        cfg = _tiny_cfg()
+        mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.5)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        mesh = make_seq_mesh(2, 4)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(7))
+        step = make_seq_videomae_train_step(mesh, cfg, mask_cfg, tx)
+        video = shard_seq_batch(_video(rng), mesh)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, video)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_rejects_random_sampler(self):
+        mesh = make_seq_mesh(2, 4)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1))
+        with pytest.raises(ValueError, match="tube"):
+            make_seq_videomae_train_step(
+                mesh, _tiny_cfg(), MaskConfig(sampler="random", mask_ratio=0.5), tx
+            )
+
+    def test_rejects_indivisible_sheets(self):
+        mesh = make_seq_mesh(1, 8)  # 4 sheets over 8 shards
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1))
+        with pytest.raises(ValueError, match="sheets"):
+            make_seq_videomae_train_step(
+                mesh, _tiny_cfg(), MaskConfig(sampler="tube", mask_ratio=0.5), tx
+            )
+
+
+class TestSeqParallelEmbed:
+    def test_matches_single_chip_embed(self, rng):
+        cfg = _tiny_cfg()
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = _video(rng, b=4)
+        want = videomae.embed(params, jnp.asarray(video), cfg)
+        mesh = make_seq_mesh(2, 4)
+        embed_fn = make_seq_embed_fn(mesh, cfg)
+        got = embed_fn(params, shard_seq_batch(video, mesh))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
