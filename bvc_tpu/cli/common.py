@@ -39,7 +39,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     # TPU-native extensions (absent in the reference)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--mesh", type=str, default="",
-                   help="e.g. 'data=8' or 'data=4,model=2'; empty = all data")
+                   help="e.g. 'data=8', 'data=4,model=2' (TP), or "
+                        "'data=2,seq=4' (videomae long-clip sequence "
+                        "parallelism, SCALING.md); empty = all data")
     p.add_argument("--param_sharding", type=str, default="replicated",
                    choices=["replicated", "zero1", "fsdp", "tp"],
                    help="zero1: replicated params + data-sharded optimizer "

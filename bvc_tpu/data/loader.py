@@ -89,6 +89,7 @@ class DataLoader:
         max_batches: int = 0,
         to_device: bool = True,
         collate_fn=None,
+        batch_spec=None,
     ):
         # collate_fn(stacked_batch, epoch, batch_idx) -> pytree; used by the
         # JEPA path to attach multi-block masks per batch.  Seeding from
@@ -117,6 +118,9 @@ class DataLoader:
         self.seed = seed
         self.to_device = to_device
         self.collate_fn = collate_fn
+        # optional PartitionSpec for device placement (e.g. P('data','seq')
+        # for the sequence-parallel step's time-sharded videos)
+        self.batch_spec = batch_spec
 
     def __len__(self) -> int:
         n = self.sampler.n // self.sampler.global_batch
@@ -140,7 +144,8 @@ class DataLoader:
                 batch = np.stack(parts)
                 if self.collate_fn is not None:
                     batch = self.collate_fn(batch, epoch, batch_idx)
-                return shard_batch(batch, self.mesh) if self.to_device else batch
+                return (shard_batch(batch, self.mesh, self.batch_spec)
+                        if self.to_device else batch)
 
             pending: collections.deque = collections.deque()
             it = iter(enumerate(batches))

@@ -250,8 +250,21 @@ def make_seq_videomae_train_step(
             metrics,
         )
 
+    def local_eval(state: TrainState, video_local: jnp.ndarray, step_idx):
+        # fresh mask realisation per val batch, like the GSPMD eval step
+        mask_local = _local_tube_masks(
+            jax.random.fold_in(state.rng, step_idx),
+            video_local.shape[0], t_local, n_space, n_masked_space,
+        )
+        loss_local = _local_pretrain_loss(
+            state.params, video_local, mask_local, model_cfg,
+            num_visible_local, _local_pos_rows(enc_table, n_shards),
+            _local_pos_rows(dec_table, n_shards),
+        )
+        return {"loss": jax.lax.pmean(loss_local, (DATA_AXIS, SEQ_AXIS))}
+
     video_spec = P(DATA_AXIS, SEQ_AXIS)
-    return jax.jit(
+    train_jit = jax.jit(
         jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(P(), video_spec), out_specs=(P(), P()),
@@ -263,6 +276,22 @@ def make_seq_videomae_train_step(
             check_vma=False,
         )
     )
+    eval_jit = jax.jit(
+        jax.shard_map(
+            local_eval, mesh=mesh,
+            in_specs=(P(), video_spec, P()), out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+    def train(state: TrainState, batch):
+        return train_jit(state, batch)
+
+    def evaluate(state: TrainState, batch, step_idx=0):
+        return eval_jit(state, batch, jnp.asarray(step_idx, jnp.int32))
+
+    train.eval_step = evaluate  # type: ignore[attr-defined]
+    return train
 
 
 def make_seq_embed_fn(mesh: Mesh, cfg: ModelConfig) -> Callable:

@@ -99,16 +99,17 @@ def param_shardings(params: Any, mesh: Mesh, mode: str = "replicated") -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, spec: P | None = None) -> Any:
     """Device-put host-local numpy batches as a global batch sharded on
-    ``data``.
+    ``data`` (or an explicit ``spec`` — e.g. ``P('data', 'seq')`` for the
+    sequence-parallel step's time-sharded videos).
 
     Single-host: a plain sharded ``device_put``.  Multi-host: each process
     contributes its local slice via
     ``jax.make_array_from_process_local_data`` (the SPMD replacement for
     ``DistributedSampler``'s rank slicing).
     """
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh) if spec is None else NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
     return jax.tree_util.tree_map(

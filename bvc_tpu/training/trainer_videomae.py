@@ -118,24 +118,59 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 "train_loss": meta.get("train_loss", 0.0),
                 "val_loss": meta.get("val_loss", 0.0),
             }
-    state = place_state(state, mesh, cfg.param_sharding)
-    probes = {}
-    if cfg.log_grad_stats:
-        from bvc_tpu.training.probes import full_grad_probes
+    seq_parallel = "seq" in mesh.axis_names
+    if seq_parallel:
+        # long-clip mode: time axis sharded over 'seq', ring attention
+        # (bvc_tpu/parallel/seqpar.py; SCALING.md "Sequence parallelism")
+        if cfg.param_sharding != "replicated":
+            raise ValueError(
+                "sequence parallelism composes with replicated params only "
+                f"(got param_sharding={cfg.param_sharding!r})"
+            )
+        if cfg.optim.grad_accum_steps > 1:
+            raise ValueError(
+                "grad_accum_steps > 1 is not supported on the "
+                "sequence-parallel step"
+            )
+        if cfg.log_grad_stats:
+            raise ValueError(
+                "log_grad_stats is not supported on the sequence-parallel "
+                "step (the CSV grad columns are still produced)"
+            )
+        from bvc_tpu.parallel.seqpar import make_seq_videomae_train_step
 
-        probes.update(full_grad_probes("videomae"))
-    step = make_videomae_train_step(
-        mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, probes,
-        grad_accum=cfg.optim.grad_accum_steps,
-    )
+        state = place_state(state, mesh, "replicated")
+        step = make_seq_videomae_train_step(mesh, cfg.model, cfg.mask, tx)
+    else:
+        state = place_state(state, mesh, cfg.param_sharding)
+        probes = {}
+        if cfg.log_grad_stats:
+            from bvc_tpu.training.probes import full_grad_probes
+
+            probes.update(full_grad_probes("videomae"))
+        step = make_videomae_train_step(
+            mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, probes,
+            grad_accum=cfg.optim.grad_accum_steps,
+        )
 
     # data ---------------------------------------------------------------------
     datasets = make_dataset("videomae", cfg.data)
-    global_batch = cfg.data.batch_size * mesh.devices.size
+    # under sequence parallelism a whole seq group carries each batch row,
+    # so the batch scales with the data axis only (and videos are placed
+    # time-sharded)
+    batch_spec = None
+    if seq_parallel:
+        from jax.sharding import PartitionSpec
+
+        global_batch = cfg.data.batch_size * mesh.shape["data"]
+        batch_spec = PartitionSpec("data", "seq")
+    else:
+        global_batch = cfg.data.batch_size * mesh.devices.size
     loaders = {
         phase: DataLoader(
             ds, mesh, global_batch, shuffle=(phase == "train"), seed=cfg.seed,
             num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch,
+            batch_spec=batch_spec,
             max_batches=cfg.max_epoch_iters,
             # val keeps every sample by padding the last global batch
             drop_last=(phase == "train"),

@@ -50,5 +50,6 @@ class TestDryrunMultichip:
         assert "mode=fsdp" in out
         assert "mode=zero1" in out
         # all passes reported finite losses
-        assert out.count("dryrun_multichip ok") == 4
+        assert out.count("dryrun_multichip ok") == 5
         assert "family=jepa" in out
+        assert "mode=seq-parallel" in out

@@ -86,6 +86,26 @@ class TestSeqParallelStep:
         assert losses[-1] < losses[0]
         assert int(state.step) == 5
 
+    def test_eval_step_matches_gspmd(self, rng):
+        cfg = _tiny_cfg()
+        mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.5)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = _video(rng)
+
+        mesh_dp = make_mesh()
+        state_a = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(7)), mesh_dp
+        )
+        step_a = make_videomae_train_step(mesh_dp, cfg, mask_cfg, tx)
+        m_a = step_a.eval_step(state_a, shard_batch(video, mesh_dp), 3)
+
+        mesh_sp = make_seq_mesh(2, 4)
+        state_b = TrainState.create(params, tx, jax.random.PRNGKey(7))
+        step_b = make_seq_videomae_train_step(mesh_sp, cfg, mask_cfg, tx)
+        m_b = step_b.eval_step(state_b, shard_seq_batch(video, mesh_sp), 3)
+        assert float(m_b["loss"]) == pytest.approx(float(m_a["loss"]), abs=2e-5)
+
     def test_rejects_random_sampler(self):
         mesh = make_seq_mesh(2, 4)
         tx = make_optimizer(OptimConfig(name="sgd", lr=0.1))
@@ -115,3 +135,74 @@ class TestSeqParallelEmbed:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
         )
+
+
+class TestTrainerSeqParallel:
+    """The trainer routes to the sequence-parallel step when the mesh has
+    a 'seq' axis (``--mesh data=2,seq=4``) — same artifact contract."""
+
+    def test_trainer_runs_with_seq_mesh(self, frame_corpus, tmp_path):
+        from bvc_tpu.training.trainer_videomae import run_pretraining
+        from bvc_tpu.utils.config import TrainConfig
+
+        cfg = TrainConfig(run_id="dev_1_g0_default_0_3", savedir=str(tmp_path),
+                          n_epoch=1, max_epoch_iters=3, seed=0, log_freq=1)
+        cfg.mesh_shape = {"data": 2, "seq": 4}
+        cfg.data.jpg_root = frame_corpus
+        cfg.data.train_group = "g0"
+        cfg.data.num_frames = 8
+        cfg.data.tubelet_size = 2
+        cfg.data.image_size = 32
+        cfg.data.n_trainsamples = 12
+        cfg.data.batch_size = 2  # x2 data shards -> global batch 4
+        cfg.data.num_workers = 2
+        cfg.data.segment_minutes = 0.02
+        cfg.model.image_size = 32
+        cfg.model.patch_size = 8
+        cfg.model.num_frames = 8
+        cfg.model.tubelet_size = 2
+        cfg.model.hidden_size = 32
+        cfg.model.depth = 2
+        cfg.model.num_heads = 4
+        cfg.model.decoder_hidden_size = 16
+        cfg.model.decoder_depth = 1
+        cfg.model.decoder_num_heads = 2
+        cfg.model.dtype = "float32"
+        cfg.mask.mask_ratio = 0.75
+        cfg.optim.lr = 0.01
+        summary = run_pretraining(cfg)
+        assert np.isfinite(summary["train_loss"])
+        assert (tmp_path / "csvlog_dev_1_g0_default_0_3.csv").exists()
+        assert (tmp_path / "model_dev_1_g0_default_0_3.ckpt").is_dir()
+
+    def test_trainer_rejects_bad_compositions(self, frame_corpus, tmp_path):
+        from bvc_tpu.training.trainer_videomae import run_pretraining
+        from bvc_tpu.utils.config import TrainConfig
+
+        def cfg_with(**kw):
+            cfg = TrainConfig(run_id="dev_1_g0_default_0_4",
+                              savedir=str(tmp_path), n_epoch=1,
+                              max_epoch_iters=1, seed=0)
+            cfg.mesh_shape = {"data": 2, "seq": 4}
+            cfg.data.jpg_root = frame_corpus
+            cfg.data.train_group = "g0"
+            cfg.model.image_size = 32
+            cfg.model.patch_size = 8
+            cfg.model.num_frames = 8
+            cfg.model.tubelet_size = 2
+            cfg.model.hidden_size = 32
+            cfg.model.depth = 2
+            cfg.model.num_heads = 4
+            cfg.model.dtype = "float32"
+            for k, v in kw.items():
+                keys = k.split(".")
+                obj = cfg
+                for kk in keys[:-1]:
+                    obj = getattr(obj, kk)
+                setattr(obj, keys[-1], v)
+            return cfg
+
+        with pytest.raises(ValueError, match="replicated"):
+            run_pretraining(cfg_with(param_sharding="fsdp"))
+        with pytest.raises(ValueError, match="grad_accum"):
+            run_pretraining(cfg_with(**{"optim.grad_accum_steps": 2}))
