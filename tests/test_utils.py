@@ -90,3 +90,48 @@ class TestTrainConfig:
         cfg = TrainConfig()
         assert cfg.model.seq_len == 8 * 14 * 14  # 1568 tokens (SURVEY §5)
         assert cfg.data.segment_size == 54000
+
+
+class TestRuntimeCachePartition:
+    """The persistent XLA cache must be partitioned per host ISA: XLA's
+    CPU AOT loader does not validate machine features and a cache that
+    outlives the VM image can SIGILL the process mid-run (see
+    utils/runtime.py host_fingerprint)."""
+
+    def test_fingerprint_stable_and_short(self):
+        from bvc_tpu.utils.runtime import host_fingerprint
+
+        a, b = host_fingerprint(), host_fingerprint()
+        assert a == b
+        assert len(a) == 12
+        int(a, 16)  # hex digest slice
+
+    @pytest.fixture
+    def restore_cache_config(self):
+        import jax
+
+        prev = jax.config.jax_compilation_cache_dir
+        prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+        yield
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+
+    def test_setup_appends_fingerprint(self, tmp_path, restore_cache_config):
+        import jax
+
+        from bvc_tpu.utils.runtime import host_fingerprint, setup_runtime
+
+        setup_runtime(str(tmp_path / "cache"))
+        got = jax.config.jax_compilation_cache_dir
+        assert got == str(tmp_path / "cache" / host_fingerprint())
+
+    def test_env_base_dir_is_partitioned(self, tmp_path, monkeypatch,
+                                         restore_cache_config):
+        import jax
+
+        from bvc_tpu.utils.runtime import host_fingerprint, setup_runtime
+
+        monkeypatch.setenv("BVC_COMPILE_CACHE", str(tmp_path / "envcache"))
+        setup_runtime()
+        got = jax.config.jax_compilation_cache_dir
+        assert got == str(tmp_path / "envcache" / host_fingerprint())
