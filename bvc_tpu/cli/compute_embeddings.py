@@ -53,6 +53,10 @@ def build_parser():
     p.add_argument("--annotation_path", type=str, default="")
     p.add_argument("--ucf_fold", type=int, default=1,
                    help="UCF101 train/test fold (dsdatasets.py:238)")
+    p.add_argument("--mesh", type=str, default="",
+                   help="e.g. 'data=8', or 'data=2,seq=4' (videomae "
+                        "long-clip sequence-parallel embed, SCALING.md); "
+                        "empty = all data")
     return p
 
 
@@ -82,7 +86,9 @@ def main(argv=None):
 
     setup_runtime()
     logger = get_logger("bvc_tpu.compute_embeddings")
-    mesh = make_mesh()
+    from bvc_tpu.cli.common import parse_mesh
+
+    mesh = make_mesh(parse_mesh(args.mesh))
     model_cfg = model_config_from_args(args)
 
     if args.checkpoint_dir:

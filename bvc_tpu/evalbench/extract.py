@@ -93,6 +93,38 @@ def _jit_embed(core: Callable, params_tree: Any, mesh) -> Callable:
     return fn
 
 
+def _is_seq_mesh(mesh) -> bool:
+    return mesh is not None and "seq" in getattr(mesh, "axis_names", ())
+
+
+def _seq_jit_embed(params_tree: Any, mesh, model_cfg: ModelConfig) -> Callable:
+    """Sequence-parallel VideoMAE embed over a ``('data','seq')`` mesh —
+    ring attention with the TIME axis sharded (``parallel/seqpar.py``),
+    for clips whose full-attention activations exceed one chip.  Same
+    ``fn(video_np) → [B, D]`` contract as :func:`_jit_embed`'s mesh mode;
+    equivalence with the single-device ``videomae.embed`` is pinned by
+    ``tests/test_seqpar.py``.
+    """
+    from bvc_tpu.parallel.seqpar import make_seq_embed_fn, shard_seq_batch
+
+    core = make_seq_embed_fn(mesh, model_cfg)
+    placed = jax.device_put(params_tree, replicated_sharding(mesh))
+
+    def fn(video):
+        return core(placed, shard_seq_batch(np.asarray(video), mesh))
+
+    return fn
+
+
+def _require_videomae_for_seq(family: str, mesh) -> None:
+    if _is_seq_mesh(mesh) and family != "videomae":
+        raise ValueError(
+            "sequence-parallel extraction is videomae-only (jepa/simclr "
+            f"clips fit one chip; got family={family!r} on a 'seq' mesh). "
+            "Use a pure-data mesh for this family."
+        )
+
+
 def _feature_dim(family: str, model_cfg: ModelConfig) -> int:
     """Embedding width of a family's extractor — lets an all-empty sweep
     still report a correctly-shaped ``(0, D)`` result."""
@@ -113,14 +145,18 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
     """Load the checkpoint and return ``fn(video_batch) → [B, D]``,
     optionally data-parallel over ``mesh`` (see :func:`_jit_embed`);
     ``fn.feature_dim`` carries the embedding width."""
+    _require_videomae_for_seq(family, mesh)
     restored = load_checkpoint(ckpt_path)
     if family == "videomae":
         from bvc_tpu.models import videomae
 
-        params = restored["model_state_dict"]
+        params = jax.tree_util.tree_map(np.asarray, restored["model_state_dict"])
+        if _is_seq_mesh(mesh):
+            return _with_dim(_seq_jit_embed(params, mesh, model_cfg),
+                             family, model_cfg)
         return _with_dim(_jit_embed(
             lambda prm, video: videomae.embed(prm, video, model_cfg),
-            jax.tree_util.tree_map(np.asarray, params), mesh,
+            params, mesh,
         ), family, model_cfg)
     if family == "jepa":
         from bvc_tpu.models import jepa as jepa_model
@@ -159,10 +195,14 @@ def untrained_embed_fn(family: str, model_cfg: ModelConfig, seed: int = 0,
                        mesh=None) -> Callable:
     """Random-init model — the stage-0 'untrained baseline' path
     (``init_checkpoint_path='na'``, ``slurm_dev_def.bash:80-87``)."""
+    _require_videomae_for_seq(family, mesh)
     if family == "videomae":
         from bvc_tpu.models import videomae
 
         params = videomae.init_params(jax.random.PRNGKey(seed), model_cfg)
+        if _is_seq_mesh(mesh):
+            return _with_dim(_seq_jit_embed(params, mesh, model_cfg),
+                             family, model_cfg)
         return _with_dim(_jit_embed(
             lambda prm, v: videomae.embed(prm, v, model_cfg), params, mesh
         ), family, model_cfg)

@@ -206,3 +206,60 @@ class TestTrainerSeqParallel:
             run_pretraining(cfg_with(param_sharding="fsdp"))
         with pytest.raises(ValueError, match="grad_accum"):
             run_pretraining(cfg_with(**{"optim.grad_accum_steps": 2}))
+
+
+class TestSeqParallelExtraction:
+    """Extraction routes to the sequence-parallel embed when the mesh has
+    a 'seq' axis (cli/compute_embeddings --mesh data=2,seq=4 →
+    evalbench/extract.py _seq_jit_embed)."""
+
+    class _FakeDs:
+        def __init__(self, n, shape):
+            self.n, self.shape = n, shape
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            clip = rng.integers(0, 255, self.shape).astype(np.float32)
+            return clip, f"v{i:03d}.mp4"
+
+    def test_untrained_embed_routes_and_matches_single_device(self):
+        from bvc_tpu.evalbench.extract import untrained_embed_fn
+
+        cfg = _tiny_cfg()
+        fn_seq = untrained_embed_fn("videomae", cfg, seed=0,
+                                    mesh=make_seq_mesh(2, 4))
+        fn_one = untrained_embed_fn("videomae", cfg, seed=0, mesh=None)
+        video = np.random.default_rng(0).integers(
+            0, 255, (4, 8, 32, 32, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(fn_seq(video)), np.asarray(fn_one(video)),
+            rtol=1e-4, atol=1e-5,
+        )
+        assert fn_seq.feature_dim == cfg.hidden_size
+
+    def test_extract_embeddings_over_seq_mesh(self):
+        from bvc_tpu.evalbench.extract import (
+            extract_embeddings, untrained_embed_fn,
+        )
+
+        cfg = _tiny_cfg()
+        mesh_sp = make_seq_mesh(2, 4)
+        fn = untrained_embed_fn("videomae", cfg, seed=0, mesh=mesh_sp)
+        ds = self._FakeDs(7, (8, 32, 32, 3))  # 7 rows: last batch pads
+        fnames, embs = extract_embeddings(fn, ds, batch_size=4,
+                                          mesh=mesh_sp, num_workers=2)
+        assert len(fnames) == 7
+        assert embs.shape == (7, cfg.hidden_size)
+
+    def test_non_videomae_family_raises(self):
+        from bvc_tpu.evalbench.extract import untrained_embed_fn
+        from bvc_tpu.utils.config import ModelConfig
+
+        jcfg = ModelConfig(family="jepa", image_size=16, patch_size=8,
+                           num_frames=2, tubelet_size=1, hidden_size=16,
+                           depth=1, num_heads=2, dtype="float32")
+        with pytest.raises(ValueError, match="videomae-only"):
+            untrained_embed_fn("jepa", jcfg, mesh=make_seq_mesh(2, 4))
