@@ -105,8 +105,11 @@ def _seq_jit_embed(params_tree: Any, mesh, model_cfg: ModelConfig) -> Callable:
     equivalence with the single-device ``videomae.embed`` is pinned by
     ``tests/test_seqpar.py``.
     """
-    from bvc_tpu.parallel.seqpar import make_seq_embed_fn, shard_seq_batch
+    from bvc_tpu.parallel.seqpar import (
+        make_seq_embed_fn, require_process_local_seq, shard_seq_batch,
+    )
 
+    require_process_local_seq(mesh)
     core = make_seq_embed_fn(mesh, model_cfg)
     placed = jax.device_put(params_tree, replicated_sharding(mesh))
 

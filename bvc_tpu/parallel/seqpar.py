@@ -77,6 +77,37 @@ def _seq_size(mesh: Mesh) -> int:
     return mesh.shape[SEQ_AXIS]
 
 
+def _rings_process_local(proc_idx: np.ndarray, seq_ax: int) -> bool:
+    """True iff every ring (a 1-D slice along ``seq_ax``) stays within
+    one process.  ``proc_idx``: per-device process indices shaped like
+    ``mesh.devices``."""
+    moved = np.moveaxis(proc_idx, seq_ax, -1)
+    rings = moved.reshape(-1, proc_idx.shape[seq_ax])
+    return bool((rings == rings[:, :1]).all())
+
+
+def require_process_local_seq(mesh: Mesh) -> None:
+    """Host-feed paths (the trainer's loader, extraction's
+    ``shard_seq_batch``) hand each process a FULL-time-axis batch slice;
+    ``make_array_from_process_local_data``/``device_put`` can only place
+    that when the ``seq`` axis is confined to one process per ring.
+    Cross-process rings are valid SPMD (``ppermute`` would ride DCN) but
+    would need a time-sliced host feed that does not exist — fail with
+    the real reason instead of a JAX local-shape mismatch.
+    """
+    if jax.process_count() == 1:
+        return
+    seq_ax = list(mesh.axis_names).index(SEQ_AXIS)
+    proc_idx = np.vectorize(lambda d: d.process_index)(mesh.devices)
+    if not _rings_process_local(proc_idx, seq_ax):
+        raise ValueError(
+            "sequence-parallel host feeding requires each 'seq' ring to "
+            "stay within one process (put 'data' on the outer/DCN axis "
+            "and 'seq' within hosts); this mesh spreads a ring across "
+            "processes"
+        )
+
+
 def _local_sheets(cfg: ModelConfig, n_shards: int) -> int:
     t = cfg.num_time_steps
     if t % n_shards:

@@ -137,8 +137,11 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 "log_grad_stats is not supported on the sequence-parallel "
                 "step (the CSV grad columns are still produced)"
             )
-        from bvc_tpu.parallel.seqpar import make_seq_videomae_train_step
+        from bvc_tpu.parallel.seqpar import (
+            make_seq_videomae_train_step, require_process_local_seq,
+        )
 
+        require_process_local_seq(mesh)
         state = place_state(state, mesh, "replicated")
         step = make_seq_videomae_train_step(mesh, cfg.model, cfg.mask, tx)
     else:

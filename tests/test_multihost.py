@@ -191,6 +191,17 @@ for i in range(5):
     err = max(err, float(np.max(np.abs(by_name[nm] - ref))))
 out["extract_max_err"] = err
 
+# seq-parallel host-feed guard: 2x4 keeps each seq ring inside one
+# process (4 local devices) -> allowed; 1x8 spans both -> must raise
+from bvc_tpu.parallel.seqpar import require_process_local_seq
+require_process_local_seq(make_mesh({"data": 2, "seq": 4}))
+out["seq_guard_local_ok"] = True
+try:
+    require_process_local_seq(make_mesh({"data": 1, "seq": 8}))
+    out["seq_guard_cross_raised"] = False
+except ValueError:
+    out["seq_guard_cross_raised"] = True
+
 sync_hosts("test-barrier")
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -275,3 +286,6 @@ def test_two_process_collectives(tmp_path):
     for o in outs:
         assert o["extract_names"] == [f"v{i}.mp4" for i in range(5)]
         assert o["extract_max_err"] < 1e-4, o["extract_max_err"]
+        # seq-parallel host-feed guard (parallel/seqpar.py)
+        assert o["seq_guard_local_ok"] is True
+        assert o["seq_guard_cross_raised"] is True

@@ -263,3 +263,36 @@ class TestSeqParallelExtraction:
                            depth=1, num_heads=2, dtype="float32")
         with pytest.raises(ValueError, match="videomae-only"):
             untrained_embed_fn("jepa", jcfg, mesh=make_seq_mesh(2, 4))
+
+
+class TestProcessLocalSeqGuard:
+    """Host-feed paths require each seq ring within one process
+    (parallel/seqpar.py require_process_local_seq): hosts hand over
+    full-time-axis batches, so a ring spanning processes cannot be fed."""
+
+    def test_ring_locality_predicate(self):
+        from bvc_tpu.parallel.seqpar import _rings_process_local
+
+        # mesh [data=2, seq=4]: seq within a process -> ok
+        ok = np.array([[0, 0, 0, 0], [1, 1, 1, 1]])
+        assert _rings_process_local(ok, seq_ax=1)
+        # seq spanning processes -> rejected
+        bad = np.array([[0, 0, 1, 1], [0, 0, 1, 1]])
+        assert not _rings_process_local(bad, seq_ax=1)
+        # data axis spanning processes is fine as long as rings are local
+        ok2 = np.array([[0, 0, 0, 0], [1, 1, 1, 1]])
+        assert _rings_process_local(ok2.T, seq_ax=0)
+
+    def test_single_process_short_circuits(self):
+        from bvc_tpu.parallel.seqpar import require_process_local_seq
+
+        require_process_local_seq(make_seq_mesh(2, 4))  # no raise
+
+    def test_multiprocess_local_rings_pass(self, monkeypatch):
+        import jax as _jax
+
+        from bvc_tpu.parallel import seqpar
+
+        monkeypatch.setattr(seqpar.jax, "process_count", lambda: 2)
+        # all CPU devices report process_index 0 -> every ring is local
+        seqpar.require_process_local_seq(make_seq_mesh(2, 4))
