@@ -325,12 +325,19 @@ def make_seq_videomae_train_step(
     return train
 
 
-def make_seq_embed_fn(mesh: Mesh, cfg: ModelConfig) -> Callable:
+def make_seq_embed_fn(mesh: Mesh, cfg: ModelConfig,
+                      gather_output: bool = False) -> Callable:
     """Sequence-parallel twin of :func:`bvc_tpu.models.videomae.embed`
     (the classifier-head pooled embedding,
     ``benchmarks/compute_embeddings_videomae.py:78-96`` semantics) for
     clips too long for single-chip attention.  ``embed(params, video)``
     with video sharded by :func:`shard_seq_batch`; returns ``[B, D]``.
+
+    ``gather_output=True`` all-gathers the rows over ``data`` so the
+    result is fully replicated — required on multi-host meshes, where a
+    ``P('data')``-sharded output is not host-materialisable
+    (``np.asarray`` on non-addressable shards raises).  Values are
+    identical either way (equivalence-tested).
     """
     _check_mesh(mesh)
     n_shards = _seq_size(mesh)
@@ -360,12 +367,20 @@ def make_seq_embed_fn(mesh: Mesh, cfg: ModelConfig) -> Callable:
         ) / n_total
         mean = jnp.mean(pooled, axis=-1, keepdims=True)
         var = jnp.var(pooled, axis=-1, keepdims=True)
-        return (pooled - mean) * jax.lax.rsqrt(var + 1e-6)
+        emb = (pooled - mean) * jax.lax.rsqrt(var + 1e-6)
+        if gather_output:
+            emb = jax.lax.all_gather(emb, DATA_AXIS, axis=0, tiled=True)
+        return emb
 
     return jax.jit(
         jax.shard_map(
             local_embed, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS, SEQ_AXIS)),
-            out_specs=P(DATA_AXIS),
+            out_specs=P() if gather_output else P(DATA_AXIS),
+            # gather_output: the all_gather over 'data' + psum over 'seq'
+            # make emb fully replicated, but vma inference cannot see the
+            # composition — verified instead by the equivalence test and
+            # the 2-process multihost extraction
+            check_vma=not gather_output,
         )
     )

@@ -202,6 +202,39 @@ try:
 except ValueError:
     out["seq_guard_cross_raised"] = True
 
+# CROSS-PROCESS sequence-parallel extraction: data spans the two hosts,
+# each seq ring stays within one (mesh 2x4); embed rows must match a
+# local single-device embed (the gather_output=True replicated path)
+scfg = ModelConfig(image_size=16, patch_size=8, num_frames=8,
+                   tubelet_size=2, hidden_size=16, depth=1, num_heads=2,
+                   decoder_hidden_size=16, decoder_depth=1,
+                   decoder_num_heads=2, dtype="float32")
+
+
+class _SeqDs:
+    def __len__(self):
+        return 5
+
+    def __getitem__(self, i):
+        r = np.random.default_rng(200 + i)
+        return r.standard_normal((8, 16, 16, 3)).astype(np.float32), f"s{i}.mp4"
+
+
+seq_mesh = make_mesh({"data": 2, "seq": 4})
+sfn = untrained_embed_fn("videomae", scfg, seed=0, mesh=seq_mesh)
+names_s, embs_s = extract_embeddings(sfn, _SeqDs(), batch_size=2,
+                                     mesh=seq_mesh, num_workers=1)
+out["seq_extract_names"] = sorted(names_s)
+sfn_local = untrained_embed_fn("videomae", scfg, seed=0)
+serr = 0.0
+sds = _SeqDs()
+s_by_name = dict(zip(names_s, embs_s))
+for i in range(5):
+    clip, nm = sds[i]
+    ref = np.asarray(sfn_local(clip[None]))[0]
+    serr = max(serr, float(np.max(np.abs(s_by_name[nm] - ref))))
+out["seq_extract_max_err"] = serr
+
 sync_hosts("test-barrier")
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -289,3 +322,6 @@ def test_two_process_collectives(tmp_path):
         # seq-parallel host-feed guard (parallel/seqpar.py)
         assert o["seq_guard_local_ok"] is True
         assert o["seq_guard_cross_raised"] is True
+        # cross-process seq-parallel extraction: complete and correct
+        assert o["seq_extract_names"] == [f"s{i}.mp4" for i in range(5)]
+        assert o["seq_extract_max_err"] < 1e-4, o["seq_extract_max_err"]

@@ -296,3 +296,17 @@ class TestProcessLocalSeqGuard:
         monkeypatch.setattr(seqpar.jax, "process_count", lambda: 2)
         # all CPU devices report process_index 0 -> every ring is local
         seqpar.require_process_local_seq(make_seq_mesh(2, 4))
+
+    def test_gather_output_matches_sharded_output(self):
+        """gather_output=True (the multi-host replicated mode) returns the
+        same values as the P('data')-sharded default."""
+        cfg = _tiny_cfg()
+        mesh_sp = make_seq_mesh(2, 4)
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = np.random.default_rng(1).integers(
+            0, 255, (4, 8, 32, 32, 3)).astype(np.float32)
+        placed = shard_seq_batch(video, mesh_sp)
+        a = make_seq_embed_fn(mesh_sp, cfg)(params, placed)
+        b = make_seq_embed_fn(mesh_sp, cfg, gather_output=True)(params, placed)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
