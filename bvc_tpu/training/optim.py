@@ -170,7 +170,14 @@ def schedule_steps(cfg, mesh) -> tuple[int, int] | None:
     o = cfg.optim
     if o.schedule == "none" and o.final_wd is None:
         return None
-    global_batch = cfg.data.batch_size * mesh.devices.size
+    # mirror the trainers' loader sizing: under a ('data','seq') mesh a
+    # whole seq group carries each batch row, so the global batch scales
+    # with the data axis only (trainer_videomae.py seq branch)
+    if "seq" in getattr(mesh, "axis_names", ()):
+        world = mesh.shape["data"]
+    else:
+        world = mesh.devices.size
+    global_batch = cfg.data.batch_size * world
     ipe = max(1, cfg.data.n_trainsamples // max(1, global_batch))
     if cfg.max_epoch_iters:
         ipe = min(ipe, cfg.max_epoch_iters)

@@ -73,6 +73,22 @@ class TestScheduleMath:
         cfg.optim.schedule = "none"
         assert schedule_steps(cfg, FakeMesh) is None
 
+    def test_schedule_steps_seq_mesh_counts_data_axis_only(self):
+        """Under a ('data','seq') mesh a whole seq group carries each
+        batch row, so the horizon must use batch_size * data (the
+        trainer's loader sizing), not batch_size * devices."""
+        from bvc_tpu.parallel.seqpar import make_seq_mesh
+
+        cfg = TrainConfig(n_epoch=4, max_epoch_iters=0)
+        cfg.data.n_trainsamples = 40
+        cfg.data.batch_size = 2
+        cfg.optim.schedule = "warmup_cosine"
+        cfg.optim.warmup_epochs = 1.0
+        warmup, total = schedule_steps(cfg, make_seq_mesh(2, 4))
+        ipe = 40 // (2 * 2)  # data axis 2, NOT 8 devices
+        assert warmup == ipe == 10
+        assert total == int(1.25 * 4 * ipe)
+
 
 class TestScheduledOptimizer:
     def test_sgd_schedule_matches_hand_rollout(self):
