@@ -25,6 +25,7 @@ from __future__ import annotations
 import copy
 import dataclasses
 import json
+import shlex
 from pathlib import Path
 from typing import Any
 
@@ -190,15 +191,22 @@ def emit_script(
         f"# generated by bvc_tpu.curriculum.emit_script (reference "
         f"analogue: slurmscripts/{ref_dir}/{ref_script})",
         "set -euo pipefail",
+        # literal paths are shell-quoted (spaces/metachars under set -u
+        # would otherwise split the assignment); $VAR forms stay unquoted
+        # so the environment expands them
         f"JPG_ROOT=${{JPG_ROOT:-{jpg_root}}}" if jpg_root.startswith("$")
-        else f"JPG_ROOT={jpg_root}",
+        else f"JPG_ROOT={shlex.quote(jpg_root)}",
         f"SAVEDIR=${{SAVEDIR:-{savedir}}}" if savedir.startswith("$")
-        else f"SAVEDIR={savedir}",
-        f"INIT={init_checkpoint_path}",
+        else f"SAVEDIR={shlex.quote(savedir)}",
+        f"INIT={init_checkpoint_path}" if init_checkpoint_path.startswith("$")
+        else f"INIT={shlex.quote(init_checkpoint_path)}",
     ]
     if needs_control_root:
         # env-overridable with the passed value (or empty) as the default
-        lines.append(f"CONTROL_ROOT=${{CONTROL_ROOT:-{control_data_root}}}")
+        ctl = (control_data_root
+               if control_data_root.startswith("$") or not control_data_root
+               else shlex.quote(control_data_root))
+        lines.append(f"CONTROL_ROOT=${{CONTROL_ROOT:-{ctl}}}")
     lines.append("")
     # condition must reach build_stage_config so the Matched* frame
     # overrides land in the emitted flags exactly as in a live run

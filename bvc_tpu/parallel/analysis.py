@@ -106,6 +106,14 @@ _COMPUTATION_HEADER_RE = re.compile(
     r"^(?:ENTRY\s+)?%?([\w\.\-]+)\s*\(.*\)\s*->.*\{\s*$"
 )
 _WHILE_BODY_RE = re.compile(r"\bwhile\(.*body=%?([\w\.\-]+)")
+_WHILE_COND_RE = re.compile(r"\bwhile\(.*condition=%?([\w\.\-]+)")
+# computation references: a collective in a computation CALLED from a
+# while body (conditional branch, wrapper, fusion) also runs per
+# iteration — track the call graph, not just lexical nesting
+_CALL_ATTR_RE = re.compile(
+    r"(?:to_apply|calls|body|condition|branch_computations|"
+    r"called_computations)=(\{[^}]*\}|%?[\w\.\-]+)"
+)
 
 
 def parse_collectives(hlo_text: str) -> list[CollectiveOp]:
@@ -117,22 +125,45 @@ def parse_collectives(hlo_text: str) -> list[CollectiveOp]:
     halves carry the same shape and are skipped.
 
     Each op records its enclosing computation; ops inside a computation
-    referenced as a ``while`` body (``lax.scan`` / ``while_loop``) are
-    flagged ``in_loop`` — the instruction appears once in the text but
-    executes once per loop iteration.
+    referenced as a ``while`` body or condition (``lax.scan`` /
+    ``while_loop``) — or inside any computation transitively CALLED from
+    one (conditional branches, wrapper/fusion computations) — are flagged
+    ``in_loop``: the instruction appears once in the text but executes
+    once per loop iteration.
     """
     lines = hlo_text.splitlines()
-    loop_bodies: set[str] = set()
+    loop_roots: set[str] = set()
+    edges: dict[str, set[str]] = {}
+    computation = ""
     for raw in lines:
+        header = _COMPUTATION_HEADER_RE.match(raw)  # headers are unindented
+        if header and not raw.startswith(" "):
+            computation = header.group(1)
         m = _WHILE_BODY_RE.search(raw)
         if m:
-            loop_bodies.add(m.group(1))
+            loop_roots.add(m.group(1))
+        m = _WHILE_COND_RE.search(raw)
+        if m:
+            loop_roots.add(m.group(1))
+        for m in _CALL_ATTR_RE.finditer(raw):
+            for name in re.findall(r"%?([\w\.\-]+)", m.group(1)):
+                edges.setdefault(computation, set()).add(name)
+    # closure: everything reachable from a loop body/condition runs per
+    # iteration
+    loop_comps: set[str] = set()
+    stack = list(loop_roots)
+    while stack:
+        c = stack.pop()
+        if c in loop_comps:
+            continue
+        loop_comps.add(c)
+        stack.extend(edges.get(c, ()))
 
     ops: list[CollectiveOp] = []
     computation = ""
     for raw in lines:
         line = raw.strip()
-        header = _COMPUTATION_HEADER_RE.match(raw)  # headers are unindented
+        header = _COMPUTATION_HEADER_RE.match(raw)
         if header and not raw.startswith(" "):
             computation = header.group(1)
         for kind in _COLLECTIVE_KINDS:
@@ -152,7 +183,7 @@ def parse_collectives(hlo_text: str) -> list[CollectiveOp]:
                 CollectiveOp(
                     kind, payload, _group_size(line), line[:400],
                     computation=computation,
-                    in_loop=computation in loop_bodies,
+                    in_loop=computation in loop_comps,
                 )
             )
             break

@@ -161,3 +161,18 @@ def load_meta(path: str | Path) -> dict[str, Any]:
 
     p = _resolve_ckpt_dir(Path(path)) / "meta.json"
     return json.loads(p.read_text()) if p.exists() else {}
+
+
+def checkpoint_saver(cfg) -> tuple[Any, Any]:
+    """(save_fn, wait_fn) for a trainer: plain :func:`save_checkpoint`,
+    or the background :class:`AsyncCheckpointWriter`'s save when
+    ``cfg.async_save`` (training overlaps serialization; ``wait_fn`` must
+    run before returning the checkpoint path so it is complete on disk).
+    Shared by all three trainers so the fallback policy cannot drift.
+    """
+    if getattr(cfg, "async_save", False):
+        from bvc_tpu.training.async_checkpoint import AsyncCheckpointWriter
+
+        writer = AsyncCheckpointWriter()
+        return writer.save, writer.wait
+    return save_checkpoint, lambda: None

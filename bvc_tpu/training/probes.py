@@ -184,3 +184,16 @@ def full_grad_probes(family: str) -> dict[str, Callable[[Any], jnp.ndarray]]:
 
         return _meter(norms)
     raise ValueError(f"unknown family {family!r}")
+
+
+def format_gstats(metrics) -> str:
+    """Log-line suffix for the opt-in fuller grad_logger stats (the
+    reference meter's ``avg (min, max)`` — loggingtools.py:98-119), empty
+    when the probe did not run this step.  Shared by all three trainers."""
+    if "gstat_avg" not in metrics:
+        return ""
+    return " [grad: %.2e (%.2e, %.2e)]" % (
+        float(metrics["gstat_avg"]),
+        float(metrics["gstat_min"]),
+        float(metrics["gstat_max"]),
+    )

@@ -22,10 +22,11 @@ from bvc_tpu.parallel import make_mesh
 from bvc_tpu.training.checkpoint import (
     checkpoint_exists,
     checkpoint_path,
+    checkpoint_saver,
     load_checkpoint,
-    save_checkpoint,
 )
 from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.probes import format_gstats
 from bvc_tpu.training.state import TrainState
 from bvc_tpu.training.steps import make_simclr_train_step, place_state
 from bvc_tpu.utils import AverageMeter, CSVLogger, TrainConfig
@@ -142,14 +143,10 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 
-    writer = None
-    if cfg.async_save:
-        from bvc_tpu.training.async_checkpoint import AsyncCheckpointWriter
-
-        writer = AsyncCheckpointWriter()
+    save_fn, save_wait = checkpoint_saver(cfg)
 
     def save(epoch_done: int):
-        (writer.save if writer is not None else save_checkpoint)(
+        save_fn(
             checkpoint_path(folder, cfg.run_id),
             {
                 # raw arrays: save_checkpoint handles sharded multi-host state
@@ -186,13 +183,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                                float(metrics["grad_conv1"]),
                                float(metrics["grad_fc0"]), int(pipe_ms[0]))
             if itr % cfg.log_freq == 0:
-                extra = ""
-                if cfg.log_grad_stats and "gstat_avg" in metrics:
-                    extra = " [grad: %.2e (%.2e, %.2e)]" % (
-                        float(metrics["gstat_avg"]),
-                        float(metrics["gstat_min"]),
-                        float(metrics["gstat_max"]),
-                    )
+                extra = format_gstats(metrics)
                 logger.info("[%d, %5d] loss: %.3f (%.0f ms)%s",
                             epoch + 1, itr, loss_meter.avg, pipe_ms[0], extra)
             if np.isnan(loss) or np.isinf(loss):
@@ -209,7 +200,6 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
     chpt = checkpoint_path(folder, cfg.run_id)
     save(cfg.n_epoch)
-    if writer is not None:
-        writer.wait()  # the returned path must be complete on disk
+    save_wait()  # async: the returned path must be complete on disk
     logger.info("checkpoint saved at %s", chpt)
     return {"checkpoint": str(chpt), "train_loss": loss_meter.avg}

@@ -24,10 +24,11 @@ from bvc_tpu.parallel import make_mesh
 from bvc_tpu.training.checkpoint import (
     checkpoint_exists,
     checkpoint_path,
+    checkpoint_saver,
     load_checkpoint,
-    save_checkpoint,
 )
 from bvc_tpu.training.optim import make_optimizer
+from bvc_tpu.training.probes import format_gstats
 from bvc_tpu.training.state import TrainState
 from bvc_tpu.training.steps import make_videomae_train_step, place_state
 from bvc_tpu.utils import AverageMeter, CSVLogger, TrainConfig
@@ -195,14 +196,10 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
     from bvc_tpu.training.metrics_pipe import MetricsPipe
 
-    writer = None
-    if cfg.async_save:
-        from bvc_tpu.training.async_checkpoint import AsyncCheckpointWriter
-
-        writer = AsyncCheckpointWriter()
+    save_fn, save_wait = checkpoint_saver(cfg)
 
     def save(epoch_done: int):
-        (writer.save if writer is not None else save_checkpoint)(
+        save_fn(
             checkpoint_path(folder, cfg.run_id),
             {
                 # raw (possibly non-addressable) arrays: save_checkpoint gathers
@@ -248,15 +245,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                     from bvc_tpu.utils.profiling import device_memory_stats
 
                     mem = device_memory_stats()["peak_bytes_in_use"] / 1024**2
-                    extra = ""
-                    if cfg.log_grad_stats and "gstat_avg" in metrics:
-                        # the reference grad_logger meter line
-                        # (loggingtools AverageMeter avg/min/max)
-                        extra = " [grad: %.2e (%.2e, %.2e)]" % (
-                            float(metrics["gstat_avg"]),
-                            float(metrics["gstat_min"]),
-                            float(metrics["gstat_max"]),
-                        )
+                    extra = format_gstats(metrics)
                     logger.info(
                         "[%d, %5d] %s loss: %.3f [mem: %.2e MB] (%.0f ms/it)%s",
                         epoch + 1, itr, phase, loss_meter[phase].avg, mem,
@@ -285,8 +274,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     # checkpoint ---------------------------------------------------------------
     chpt = checkpoint_path(folder, cfg.run_id)
     save(cfg.n_epoch)
-    if writer is not None:
-        writer.wait()  # the returned path must be complete on disk
+    save_wait()  # async: the returned path must be complete on disk
     logger.info("checkpoint saved at %s", chpt)
     return {
         "checkpoint": str(chpt),

@@ -23,8 +23,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Tests compare against exact numpy references; keep f32 matmuls exact.
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compilation cache keeps repeat suite runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/bvc_jax_cache")
+# Persistent compilation cache keeps repeat suite runs fast — partitioned
+# per host ISA like setup_runtime (utils/runtime.py host_fingerprint):
+# XLA's CPU AOT loader does not validate machine features, so entries
+# left by a different host/flag set risk SIGILL instead of a recompile.
+from bvc_tpu.utils.runtime import host_fingerprint  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/bvc_jax_cache/{host_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

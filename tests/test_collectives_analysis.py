@@ -106,6 +106,51 @@ ENTRY %main (a: f32[16,16]) -> f32[16,16] {
         loop = [op for op in ops if op.in_loop]
         assert len(loop) == 1 and loop[0].computation == "body"
 
+    _HLO_INDIRECT = """
+HloModule jit_step2
+
+%add2 (x: f32[], y: f32[]) -> f32[] {
+  %x = f32[] parameter(0)
+  %y = f32[] parameter(1)
+  ROOT %add = f32[] add(%x, %y)
+}
+
+%branch_ar (q: f32[16,16]) -> f32[16,16] {
+  %q = f32[16,16]{1,0} parameter(0)
+  ROOT %ar.br = f32[16,16]{1,0} all-reduce(%q), channel_id=5, replica_groups=[1,8]<=[8], to_apply=%add2
+}
+
+%branch_id (q2: f32[16,16]) -> f32[16,16] {
+  %q2 = f32[16,16]{1,0} parameter(0)
+  ROOT %cp = f32[16,16]{1,0} copy(%q2)
+}
+
+%body2 (p: (s32[], f32[16,16])) -> (s32[], f32[16,16]) {
+  %p = (s32[], f32[16,16]) parameter(0)
+  %i = s32[] get-tuple-element(%p), index=0
+  %g = f32[16,16]{1,0} get-tuple-element(%p), index=1
+  %c = f32[16,16]{1,0} conditional(%i, %g, %g), branch_computations={%branch_id, %branch_ar}
+  ROOT %t = (s32[], f32[16,16]) tuple(%i, %c)
+}
+
+ENTRY %main2 (a: f32[16,16]) -> f32[16,16] {
+  %a = f32[16,16]{1,0} parameter(0)
+  %w = (s32[], f32[16,16]) while(%init), condition=%cond2, body=%body2
+  ROOT %r = f32[16,16] get-tuple-element(%w), index=1
+}
+"""
+
+    def test_collective_called_from_loop_body_is_in_loop(self):
+        """A collective in a computation invoked FROM the while body (a
+        conditional branch here) executes once per iteration; lexical
+        nesting alone would miss it — the exact per-iteration-traffic
+        regression the grad-accum accounting exists to catch."""
+        ops = parse_collectives(self._HLO_INDIRECT)
+        assert len(ops) == 1
+        assert ops[0].kind == "all-reduce"
+        assert ops[0].computation == "branch_ar"
+        assert ops[0].in_loop is True
+
     def test_ring_estimates(self):
         ar = CollectiveOp("all-reduce", 1000, 8)
         assert ar.ring_bytes_per_chip == pytest.approx(2 * 7 / 8 * 1000)

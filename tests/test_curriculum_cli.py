@@ -170,3 +170,34 @@ class TestEmitScript:
         text = emit_script("dev", "predictive_unt", 0,
                            preset_name="predictive_unt")
         assert "slurmscripts/predictive/slurm_unt_def.bash" in text
+
+
+class TestEmitScriptQuoting:
+    def test_paths_with_spaces_emit_quoted_assignments(self, tmp_path):
+        """Unquoted `JPG_ROOT=/data/home view` would run `view` as a
+        command under set -euo pipefail; literal paths must be quoted
+        (while $VAR defaults stay expandable)."""
+        import subprocess
+
+        from bvc_tpu.curriculum.driver import emit_script
+
+        text = emit_script(
+            "dev", "generative", 0,
+            jpg_root="/data/home view", savedir="/out dir's",
+            init_checkpoint_path="/ckpts/with space.ckpt",
+        )
+        assert "JPG_ROOT='/data/home view'" in text
+        out = tmp_path / "q.sh"
+        out.write_text(text)
+        assert subprocess.run(["bash", "-n", str(out)]).returncode == 0
+        # the assignments themselves execute cleanly (run just the header)
+        header = "\n".join(text.splitlines()[:8]) + "\necho OK\n"
+        r = subprocess.run(["bash", "-c", header], capture_output=True,
+                           text=True)
+        assert r.returncode == 0 and "OK" in r.stdout, r.stderr
+
+    def test_env_var_defaults_still_expand(self):
+        from bvc_tpu.curriculum.driver import emit_script
+
+        text = emit_script("dev", "generative", 0)  # default $JPG_ROOT form
+        assert "JPG_ROOT=${JPG_ROOT:-$JPG_ROOT}" in text

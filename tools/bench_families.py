@@ -151,7 +151,7 @@ def bench_simclr(per_device_batches=(256, 128, 64)):
         sync(metrics["loss"])
         return state, step, batch, B
 
-    (per_device_batch, accum), (state, step, batch, B) = ladder(configs, build)
+    per_device_batch, (state, step, batch, B) = ladder(per_device_batches, build)
 
     iters = 20
     t0 = time.perf_counter()
