@@ -360,6 +360,14 @@ def run_curriculum(
         preset = FAMILY_PRESETS[preset]
     base = copy.deepcopy(base)
     base.data.condition = condition
+    if mesh is None and base.mesh_shape:
+        # honor --mesh for the whole chain: the trainers would rebuild it
+        # from cfg.mesh_shape anyway, but the extraction sweep receives
+        # the mesh object — without this it silently fell back to a
+        # single-device embed while training ran on the requested layout
+        from bvc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(base.mesh_shape)
     plan = stage_plan(curriculum, preset, base.seed, condition, n_stages)
     trainer = _trainer_for(preset.family)
     model_cfg = build_stage_config(preset, plan[0], base).model

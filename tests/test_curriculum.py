@@ -206,3 +206,49 @@ class TestCurriculumExtraction:
         assert (emb_dir / "embeddings_dev_1_g0_default_1_0.csv").exists()
         assert (emb_dir / "test" / "embeddings_dev_1_g0_default_1_0.csv").exists()
         assert len(results["extraction"]) == 4
+
+    def test_extraction_rides_the_seq_mesh(self, frame_corpus, tmp_path,
+                                           ssv2_like):
+        """--mesh data=N,seq=M reaches the WHOLE chain: the trainer's
+        time-sharded step AND the extraction sweep (run_curriculum builds
+        the mesh from base.mesh_shape; previously extraction silently
+        fell back to a single-device embed)."""
+        import dataclasses
+
+        from bvc_tpu.curriculum.driver import run_curriculum
+        from bvc_tpu.curriculum.presets import FAMILY_PRESETS
+
+        tiny = dataclasses.replace(
+            FAMILY_PRESETS["generative"],
+            n_epoch=1, batch_size=1, max_epoch_iters=2, n_trainsamples=16,
+            num_frames=8, tubelet_size=2,
+        )
+        base = TrainConfig(savedir=str(tmp_path), seed=0, log_freq=1)
+        base.mesh_shape = {"data": 2, "seq": 4}
+        base.data.jpg_root = frame_corpus
+        base.data.image_size = 32
+        base.data.segment_minutes = 0.011
+        base.data.num_workers = 2
+        base.model.image_size = 32
+        base.model.patch_size = 8
+        base.model.hidden_size = 32
+        base.model.depth = 1
+        base.model.num_heads = 4
+        base.model.decoder_hidden_size = 16
+        base.model.decoder_depth = 1
+        base.model.decoder_num_heads = 2
+        base.model.dtype = "float32"
+        base.mask.mask_ratio = 0.75
+        results = run_curriculum(
+            "dev", tiny, base, n_stages=1,
+            extraction=[{"ds_task": "ssv2", "vid_root": ssv2_like,
+                         "frame_rate": 12, "batch_size": 2}],
+        )
+        emb_dir = tmp_path / "benchmarks" / "ssv2"
+        csv = emb_dir / "embeddings_dev_1_g0_default_1_0.csv"
+        assert csv.exists()
+        import pandas as pd
+
+        df = pd.read_csv(csv)
+        assert len(df) == 4  # all train samples embedded
+        assert np.isfinite(df.filter(like="dim").to_numpy()).all()
