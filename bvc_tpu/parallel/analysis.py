@@ -89,6 +89,11 @@ class CollectiveOp:
     def ring_bytes_per_chip(self) -> float:
         """Estimated ICI bytes each chip moves, ring algorithm."""
         g = max(self.group_size, 1)
+        if self.kind == "collective-permute":
+            # each chip sends/receives the result block once; ppermutes
+            # carry source_target_pairs, not replica_groups, so group
+            # size stays 1 — do not gate on it
+            return float(self.payload_bytes)
         if g == 1:
             return 0.0
         if self.kind == "all-reduce":

@@ -321,7 +321,14 @@ def make_seq_videomae_train_step(
     def evaluate(state: TrainState, batch, step_idx=0):
         return eval_jit(state, batch, jnp.asarray(step_idx, jnp.int32))
 
+    def compiled_text(state: TrainState, batch) -> str:
+        """Optimized HLO for these shapes — compiles but does NOT execute
+        (feeds :mod:`bvc_tpu.parallel.analysis`, same contract as the
+        GSPMD steps' ``compiled_text``)."""
+        return train_jit.lower(state, batch).compile().as_text()
+
     train.eval_step = evaluate  # type: ignore[attr-defined]
+    train.compiled_text = compiled_text  # type: ignore[attr-defined]
     return train
 
 

@@ -159,6 +159,9 @@ ENTRY %main2 (a: f32[16,16]) -> f32[16,16] {
         rs = CollectiveOp("reduce-scatter", 125, 8)  # shard-shaped result
         assert rs.ring_bytes_per_chip == pytest.approx(7 * 125)
         assert CollectiveOp("all-reduce", 1000, 1).ring_bytes_per_chip == 0.0
+        # ppermutes carry source_target_pairs (group_size stays 1) but
+        # each chip still moves the payload once
+        assert CollectiveOp("collective-permute", 640, 1).ring_bytes_per_chip == 640.0
 
 
 class TestDataParallel:
@@ -231,3 +234,37 @@ class TestTensorParallel:
             if op.group_size in (4, 8) and op.payload_bytes >= _BIG
         ]
         assert data_ops
+
+
+class TestSeqParallel:
+    def test_seq_step_is_ring_hops_plus_one_grad_allreduce(self):
+        """The time-sharded step's only communication: neighbor ppermutes
+        for the two ring attentions plus ONE gradient all-reduce over
+        both axes (SCALING.md 'Sequence parallelism')."""
+        from bvc_tpu.parallel.seqpar import (
+            make_seq_mesh, make_seq_videomae_train_step, shard_seq_batch,
+        )
+
+        mesh = make_seq_mesh(4, 2)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), _CFG)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        step = make_seq_videomae_train_step(
+            mesh, _CFG, MaskConfig(sampler="tube", mask_ratio=0.75), tx
+        )
+        video = np.random.default_rng(0).standard_normal(
+            (8, 4, 32, 32, 3)).astype(np.float32)
+        text = step.compiled_text(state, shard_seq_batch(video, mesh))
+        report = comm_report(text)
+        # one gradient all-reduce, exactly the gradient volume
+        assert report.bytes_for("all-reduce", min_payload=_BIG) == (
+            pytest.approx(tree_bytes(params), rel=0.05)
+        )
+        # ring hops present; each chip moves each hop's payload once
+        pp = [op for op in report.ops if op.kind == "collective-permute"]
+        assert pp, "ring attention must emit collective-permutes"
+        for op in pp:
+            assert op.ring_bytes_per_chip == float(op.payload_bytes)
+        # nothing else: no gathers/scatters in this layout
+        assert report.bytes_for("all-gather", min_payload=_BIG) == 0
+        assert report.bytes_for("reduce-scatter", min_payload=_BIG) == 0

@@ -310,3 +310,21 @@ class TestProcessLocalSeqGuard:
         b = make_seq_embed_fn(mesh_sp, cfg, gather_output=True)(params, placed)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestNonVideomaeTrainersRejectSeqMesh:
+    """JEPA/SimCLR clips fit one chip; a 'seq' axis would replicate their
+    whole step across it — the trainers refuse it up front."""
+
+    @pytest.mark.parametrize("family", ["jepa", "simclr"])
+    def test_raises(self, family):
+        from bvc_tpu.utils.config import TrainConfig
+
+        cfg = TrainConfig(run_id="dev_1_g0_default_0_5", savedir="/tmp/x")
+        cfg.mesh_shape = {"data": 2, "seq": 4}
+        if family == "jepa":
+            from bvc_tpu.training.trainer_jepa import run_pretraining
+        else:
+            from bvc_tpu.training.trainer_simclr import run_pretraining
+        with pytest.raises(ValueError, match="videomae-only"):
+            run_pretraining(cfg)

@@ -73,6 +73,29 @@ def _analyze(family: str, param_mode: str, mesh_shape, grad_accum: int, batch: i
     data_size = mesh.shape["data"]
     B = batch * data_size * grad_accum
 
+    if param_mode == "seq":
+        # sequence(time)-parallel VideoMAE: ring attention over 'seq'
+        # (parallel/seqpar.py) — per-hop ppermutes inside the attention
+        # scans plus the one grad pmean
+        from bvc_tpu.models import videomae as model_mod
+        from bvc_tpu.parallel.seqpar import (
+            make_seq_videomae_train_step, shard_seq_batch,
+        )
+
+        cfg = ModelConfig(dtype="bfloat16")
+        params = model_mod.init_params(jax.random.PRNGKey(0), cfg)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        step = make_seq_videomae_train_step(
+            mesh, cfg, MaskConfig(sampler="tube", mask_ratio=0.9), tx
+        )
+        video = np.zeros(
+            (batch * data_size, cfg.num_frames, cfg.image_size,
+             cfg.image_size, 3), np.uint8,
+        )
+        text = step.compiled_text(state, shard_seq_batch(video, mesh))
+        return comm_report(text), tree_bytes(params)
+
     if family == "videomae":
         cfg = ModelConfig(dtype="bfloat16")
         from bvc_tpu.models import videomae as model_mod
@@ -140,6 +163,8 @@ def main():
         ("fsdp", "fsdp", None, 1),
         ("tp2xdp4", "tp", {"data": 4, "model": 2}, 1),
     ]
+    if args.family == "videomae":
+        layouts.append(("dp2xseq4", "seq", {"data": 2, "seq": 4}, 1))
     rows = []
     for name, mode, mesh_shape, accum in layouts:
         report, param_bytes = _analyze(args.family, mode, mesh_shape, accum, args.batch)
@@ -159,8 +184,8 @@ def main():
         })
         print(json.dumps(rows[-1]), flush=True)
 
-    print("\n| layout | all-reduce | all-gather | reduce-scatter | ring bytes/chip/step | in-scan |")
-    print("|---|---|---|---|---|---|")
+    print("\n| layout | all-reduce | all-gather | reduce-scatter | ppermute | ring bytes/chip/step | in-scan |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         bk = r["by_kind"]
 
@@ -170,7 +195,8 @@ def main():
 
         print(
             f"| {r['layout']} | {cell('all-reduce')} | {cell('all-gather')} | "
-            f"{cell('reduce-scatter')} | {_fmt_mb(r['ring_bytes_per_chip'])} | "
+            f"{cell('reduce-scatter')} | {cell('collective-permute')} | "
+            f"{_fmt_mb(r['ring_bytes_per_chip'])} | "
             f"{r['large_collectives_in_scan']} |"
         )
 
