@@ -253,9 +253,12 @@ def emit_script(
     # model (what the live _run_extraction does via model_cfg)
     m_ex = build_stage_config(preset, plan[0], base).model
     for task, vid_root in (extract or {}).items():
+        # user-supplied path: quote like the header assignments ($VAR
+        # forms stay expandable)
+        vr = vid_root if vid_root.startswith("$") else shlex.quote(vid_root)
         lines.append(
             f"python -m bvc_tpu.cli.compute_embeddings -ds_task {task} "
-            f'-vid_root "{vid_root}" -savedir "$SAVEDIR/benchmarks/{task}" '
+            f'-vid_root {vr} -savedir "$SAVEDIR/benchmarks/{task}" '
             f'--family {preset.family} --checkpoint_dir "$SAVEDIR" '
             f"--num_frames {m_ex.num_frames} "
             f"--tubelet_size {m_ex.tubelet_size} "

@@ -105,25 +105,21 @@ def _seq_jit_embed(params_tree: Any, mesh, model_cfg: ModelConfig) -> Callable:
     equivalence with the single-device ``videomae.embed`` is pinned by
     ``tests/test_seqpar.py``.
     """
-    from jax.sharding import PartitionSpec
-
     from bvc_tpu.parallel.seqpar import (
-        DATA_AXIS, SEQ_AXIS, make_seq_embed_fn, require_process_local_seq,
+        make_seq_embed_fn, require_process_local_seq, shard_seq_batch,
     )
 
     require_process_local_seq(mesh)
     multi = jax.process_count() > 1
-    # multi-host: each process contributes its local rows (shard_batch's
-    # make_array_from_process_local_data path — a plain device_put cannot
-    # address the other hosts' devices), and the output must come back
-    # replicated so every host can materialise it; extract_embeddings
-    # then slices out this host's segment of the global rows.
+    # multi-host: shard_seq_batch contributes each process's local rows
+    # via the process-local placement path, and gather_output returns the
+    # global rows replicated so every host can materialise them;
+    # extract_embeddings then slices out this host's segment.
     core = make_seq_embed_fn(mesh, model_cfg, gather_output=multi)
     placed = jax.device_put(params_tree, replicated_sharding(mesh))
-    video_spec = PartitionSpec(DATA_AXIS, SEQ_AXIS)
 
     def fn(video):
-        return core(placed, shard_batch(np.asarray(video), mesh, video_spec))
+        return core(placed, shard_seq_batch(np.asarray(video), mesh))
 
     return fn
 

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from bvc_tpu.parallel.mesh import DATA_AXIS
 from bvc_tpu.utils.config import MaskConfig, ModelConfig
@@ -60,9 +60,14 @@ def make_seq_mesh(data: int, seq: int, devices=None) -> Mesh:
 
 
 def shard_seq_batch(video: Any, mesh: Mesh) -> Any:
-    """Place ``[B, T, ...]`` with B over ``data`` and T over ``seq``."""
-    sh = NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
-    return jax.device_put(video, sh)
+    """Place ``[B, T, ...]`` with B over ``data`` and T over ``seq``.
+
+    Delegates to :func:`bvc_tpu.parallel.sharding.shard_batch`, which is
+    multi-host aware: each process contributes its local batch rows (a
+    plain ``device_put`` cannot address other hosts' devices)."""
+    from bvc_tpu.parallel.sharding import shard_batch
+
+    return shard_batch(video, mesh, P(DATA_AXIS, SEQ_AXIS))
 
 
 def _check_mesh(mesh: Mesh):

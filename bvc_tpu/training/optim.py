@@ -174,7 +174,10 @@ def schedule_steps(cfg, mesh) -> tuple[int, int] | None:
     # whole seq group carries each batch row, so the global batch scales
     # with the data axis only (trainer_videomae.py seq branch)
     if "seq" in getattr(mesh, "axis_names", ()):
-        world = mesh.shape["data"]
+        # .get: a seq mesh without 'data' is invalid, but the trainer's
+        # mesh validation owns that diagnostic — don't preempt it with a
+        # bare KeyError here
+        world = mesh.shape.get("data", mesh.devices.size)
     else:
         world = mesh.devices.size
     global_batch = cfg.data.batch_size * world

@@ -77,6 +77,7 @@ def _analyze(family: str, param_mode: str, mesh_shape, grad_accum: int, batch: i
         # sequence(time)-parallel VideoMAE: ring attention over 'seq'
         # (parallel/seqpar.py) — per-hop ppermutes inside the attention
         # scans plus the one grad pmean
+        assert family == "videomae", "sequence parallelism is videomae-only"
         from bvc_tpu.models import videomae as model_mod
         from bvc_tpu.parallel.seqpar import (
             make_seq_videomae_train_step, shard_seq_batch,
