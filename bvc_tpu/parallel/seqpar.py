@@ -26,8 +26,9 @@ make the mean-of-local-means exact.  Equivalence vs
 is tested on the 8-device CPU mesh (tests/test_seqpar.py).
 
 Sharding layout: ``video [B, T, H, W, C]`` with B over ``data`` and T
-over ``seq``; params/optimizer state replicated (compose with ZeRO-1 at
-larger scale).  Per-chip attention memory falls from O(N²) to O((N/S)²)
+over ``seq``; params/optimizer state replicated (the trainer rejects
+fsdp/zero1/tp compositions today — sharded-state variants are a future
+extension).  Per-chip attention memory falls from O(N²) to O((N/S)²)
 and activation memory by S×, which is what admits e.g. 64-frame 224px
 clips (6272 tokens) that OOM the single-chip step.
 """
