@@ -26,9 +26,14 @@ make the mean-of-local-means exact.  Equivalence vs
 is tested on the 8-device CPU mesh (tests/test_seqpar.py).
 
 Sharding layout: ``video [B, T, H, W, C]`` with B over ``data`` and T
-over ``seq``; params/optimizer state replicated (the trainer rejects
-fsdp/zero1/tp compositions today — sharded-state variants are a future
-extension).  Per-chip attention memory falls from O(N²) to O((N/S)²)
+over ``seq``; params replicated, optimizer state replicated or — with
+``param_mode='zero1'`` — sharded over ``data`` (the optimizer update
+runs outside the shard_map under GSPMD, so the zero1 slicing composes
+exactly as in the main step; fsdp/tp stay rejected because they would
+shard the very params the ring step holds whole per chip).  Gradient
+accumulation (``grad_accum``) scans local microbatches inside the
+shard_map with the cross-chip reduction still once per optimizer step.
+Per-chip attention memory falls from O(N²) to O((N/S)²)
 and activation memory by S×, which is what admits e.g. 64-frame 224px
 clips (6272 tokens) that OOM the single-chip step.
 """
@@ -228,6 +233,9 @@ def make_seq_videomae_train_step(
     model_cfg: ModelConfig,
     mask_cfg: MaskConfig,
     tx: optax.GradientTransformation,
+    param_mode: str = "replicated",
+    grad_probes: dict[str, Callable[[Any], jnp.ndarray]] | None = None,
+    grad_accum: int = 1,
 ) -> Callable:
     """Sequence-parallel twin of
     :func:`bvc_tpu.training.steps.make_videomae_train_step`: same
@@ -237,6 +245,20 @@ def make_seq_videomae_train_step(
 
     Tube masks only: the random sampler has no per-sheet count invariant,
     so its visible-token shapes are not static per shard.
+
+    Structure: the ``shard_map`` computes only (loss, grads) — both
+    replicated out via the step's ONE ``pmean`` — and the optimizer
+    update runs OUTSIDE it under GSPMD.  That split is what admits the
+    ``param_mode='zero1'`` composition (momentum sharded over ``data``
+    while the ring step's params stay replicated: the partitioner slices
+    the update math exactly as in the GSPMD zero1 step) and makes
+    ``grad_probes`` free (grads are replicated arrays at that point).
+
+    ``grad_accum > 1`` scans that many sequential microbatches of this
+    shard's LOCAL rows into one gradient inside the shard_map — exact
+    (tube masks give every sample the same masked count, so the mean of
+    microbatch means is the batch mean) with the cross-chip reduction
+    still happening once per optimizer step.
     """
     _check_mesh(mesh)
     if mask_cfg.sampler != "tube":
@@ -245,6 +267,14 @@ def make_seq_videomae_train_step(
             "per-sheet visible count is what keeps shard shapes static); "
             f"got {mask_cfg.sampler!r}"
         )
+    if param_mode not in ("replicated", "zero1"):
+        raise ValueError(
+            "sequence parallelism composes with 'replicated' or 'zero1' "
+            f"param sharding only (got {param_mode!r}); fsdp/tp would "
+            "shard the very params the ring step holds whole per chip"
+        )
+    from jax.sharding import NamedSharding
+
     from bvc_tpu.models.videomae import pos_tables
     from bvc_tpu.training.optim import apply_gradients
     from bvc_tpu.training.probes import videomae_grad_metrics
@@ -258,27 +288,95 @@ def make_seq_videomae_train_step(
     num_visible_local = (n_space - n_masked_space) * t_local
     enc_table, dec_table = pos_tables(model_cfg)
 
-    def local_step(state: TrainState, video_local: jnp.ndarray):
-        rng, mask_rng = jax.random.split(state.rng)
+    def local_loss_grads(params, mask_rng, video_local: jnp.ndarray):
+        b_local = video_local.shape[0]
         mask_local = _local_tube_masks(
-            mask_rng, video_local.shape[0], t_local, n_space, n_masked_space
+            mask_rng, b_local, t_local, n_space, n_masked_space
         )
         enc_pos = _local_pos_rows(enc_table, n_shards)
         dec_pos = _local_pos_rows(dec_table, n_shards)
 
-        def loss_fn(params):
-            return _local_pretrain_loss(
-                params, video_local, mask_local, model_cfg,
-                num_visible_local, enc_pos, dec_pos,
-            )
+        def loss_of(v, m):
+            def loss_fn(p):
+                return _local_pretrain_loss(
+                    p, v, m, model_cfg, num_visible_local, enc_pos, dec_pos
+                )
 
-        loss_local, grads_local = jax.value_and_grad(loss_fn)(state.params)
-        # equal per-shard masked counts → mean of local means is exact
+            return loss_fn
+
+        if grad_accum > 1:
+            if b_local % grad_accum:
+                raise ValueError(
+                    f"grad_accum_steps ({grad_accum}) must divide the "
+                    f"per-data-shard batch ({b_local})"
+                )
+            vb = video_local.reshape(
+                grad_accum, b_local // grad_accum, *video_local.shape[1:]
+            )
+            mb = mask_local.reshape(
+                grad_accum, b_local // grad_accum, *mask_local.shape[1:]
+            )
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+            def micro(carry, xs):
+                g_acc, l_acc = carry
+                v, m = xs
+                loss, g = jax.value_and_grad(loss_of(v, m))(params)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + loss), None
+
+            (g_sum, l_sum), _ = jax.lax.scan(micro, (zero_g, 0.0), (vb, mb))
+            loss_local = l_sum / grad_accum
+            grads_local = jax.tree_util.tree_map(
+                lambda x: x / grad_accum, g_sum
+            )
+        else:
+            loss_local, grads_local = jax.value_and_grad(
+                loss_of(video_local, mask_local)
+            )(params)
+        # equal per-shard masked counts → mean of local means is exact;
+        # this pmean is the step's ONE cross-chip reduction
         loss = jax.lax.pmean(loss_local, (DATA_AXIS, SEQ_AXIS))
         grads = jax.lax.pmean(grads_local, (DATA_AXIS, SEQ_AXIS))
-        params, opt_state = apply_gradients(tx, grads, state.opt_state, state.params)
+        return loss, grads
+
+    def local_eval_loss(params, eval_rng, video_local: jnp.ndarray):
+        mask_local = _local_tube_masks(
+            eval_rng, video_local.shape[0], t_local, n_space, n_masked_space
+        )
+        loss_local = _local_pretrain_loss(
+            params, video_local, mask_local, model_cfg,
+            num_visible_local, _local_pos_rows(enc_table, n_shards),
+            _local_pos_rows(dec_table, n_shards),
+        )
+        return jax.lax.pmean(loss_local, (DATA_AXIS, SEQ_AXIS))
+
+    video_spec = P(DATA_AXIS, SEQ_AXIS)
+    # explicit-reduction style (as training/steps.py _accumulated_grads):
+    # with vma checking on, AD would ALSO auto-psum the cotangents at the
+    # replicated-params boundary and the explicit pmean above would
+    # double-count by the shard count (caught by tests/test_seqpar.py)
+    grads_sm = jax.shard_map(
+        local_loss_grads, mesh=mesh,
+        in_specs=(P(), P(), video_spec), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    eval_sm = jax.shard_map(
+        local_eval_loss, mesh=mesh,
+        in_specs=(P(), P(), video_spec), out_specs=P(),
+        check_vma=False,
+    )
+
+    def step(state: TrainState, video: jnp.ndarray):
+        rng, mask_rng = jax.random.split(state.rng)
+        loss, grads = grads_sm(state.params, mask_rng, video)
+        params, opt_state = apply_gradients(
+            tx, grads, state.opt_state, state.params
+        )
         metrics = {"loss": loss}
         metrics.update(videomae_grad_metrics(grads))
+        for name, fn in (grad_probes or {}).items():
+            metrics[name] = fn(grads)
         return (
             TrainState(
                 step=state.step + 1, params=params, opt_state=opt_state,
@@ -287,53 +385,55 @@ def make_seq_videomae_train_step(
             metrics,
         )
 
-    def local_eval(state: TrainState, video_local: jnp.ndarray, step_idx):
+    def eval_step(state: TrainState, video: jnp.ndarray, step_idx):
         # fresh mask realisation per val batch, like the GSPMD eval step
-        mask_local = _local_tube_masks(
-            jax.random.fold_in(state.rng, step_idx),
-            video_local.shape[0], t_local, n_space, n_masked_space,
-        )
-        loss_local = _local_pretrain_loss(
-            state.params, video_local, mask_local, model_cfg,
-            num_visible_local, _local_pos_rows(enc_table, n_shards),
-            _local_pos_rows(dec_table, n_shards),
-        )
-        return {"loss": jax.lax.pmean(loss_local, (DATA_AXIS, SEQ_AXIS))}
+        return {
+            "loss": eval_sm(
+                state.params, jax.random.fold_in(state.rng, step_idx), video
+            )
+        }
 
-    video_spec = P(DATA_AXIS, SEQ_AXIS)
-    train_jit = jax.jit(
-        jax.shard_map(
-            local_step, mesh=mesh,
-            in_specs=(P(), video_spec), out_specs=(P(), P()),
-            # explicit-reduction style (as training/steps.py
-            # _accumulated_grads): with vma checking on, AD would ALSO
-            # auto-psum the cotangents at the replicated-params boundary
-            # and the explicit pmean below would double-count by the
-            # shard count (caught by tests/test_seqpar.py)
-            check_vma=False,
-        )
-    )
-    eval_jit = jax.jit(
-        jax.shard_map(
-            local_eval, mesh=mesh,
-            in_specs=(P(), video_spec, P()), out_specs=P(),
-            check_vma=False,
-        )
-    )
+    video_sh = NamedSharding(mesh, video_spec)
+    rep = NamedSharding(mesh, P())
+    cache: dict[str, Any] = {}
+
+    def _shardings(state: TrainState):
+        if "st_sh" not in cache:
+            from bvc_tpu.training.steps import _tree_shardings
+
+            cache["st_sh"] = _tree_shardings(state, mesh, param_mode)
+        return cache["st_sh"]
 
     def train(state: TrainState, batch):
-        return train_jit(state, batch)
+        if "jit" not in cache:
+            st_sh = _shardings(state)
+            cache["jit"] = jax.jit(
+                step, in_shardings=(st_sh, video_sh),
+                out_shardings=(st_sh, rep), donate_argnums=(0,),
+            )
+        return cache["jit"](state, batch)
 
     def evaluate(state: TrainState, batch, step_idx=0):
-        return eval_jit(state, batch, jnp.asarray(step_idx, jnp.int32))
+        if "ejit" not in cache:
+            st_sh = _shardings(state)
+            cache["ejit"] = jax.jit(
+                eval_step, in_shardings=(st_sh, video_sh, rep),
+                out_shardings=rep,
+            )
+        return cache["ejit"](state, batch, jnp.asarray(step_idx, jnp.int32))
 
     def compiled_text(state: TrainState, batch) -> str:
         """Optimized HLO for these shapes — compiles but does NOT execute
         (feeds :mod:`bvc_tpu.parallel.analysis`, same contract as the
         GSPMD steps' ``compiled_text``)."""
-        return train_jit.lower(state, batch).compile().as_text()
+        st_sh = _shardings(state)
+        jitted = jax.jit(
+            step, in_shardings=(st_sh, video_sh), out_shardings=(st_sh, rep)
+        )  # no donation: inspection must not invalidate the caller's state
+        return jitted.lower(state, batch).compile().as_text()
 
     train.eval_step = evaluate  # type: ignore[attr-defined]
+    train.shardings = lambda: cache.get("st_sh")  # type: ignore[attr-defined]
     train.compiled_text = compiled_text  # type: ignore[attr-defined]
     return train
 

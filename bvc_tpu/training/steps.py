@@ -139,20 +139,34 @@ def _tree_shardings(state: TrainState, mesh: Mesh, param_mode: str):
     rep = NamedSharding(mesh, P())
 
     # opt_state contains pytrees shaped like params (momentum etc.) plus
-    # scalars; map params-shaped leaves to the params sharding by shape.
-    flat_p, _ = jax.tree_util.tree_flatten(state.params)
-    flat_sh, _ = jax.tree_util.tree_flatten(
+    # scalars; map each params-shaped leaf to its param's sharding by TREE
+    # PATH — optax embeds the params tree verbatim inside its states, so a
+    # param's path is a suffix of its opt-state leaf's path (e.g.
+    # (1, .trace, *param_path)).  Scalars (count etc.) match nothing and
+    # stay replicated.  A (shape, dtype) map would silently share one
+    # sharding between same-shape params under different partition rules
+    # (e.g. qkv column-parallel vs proj row-parallel under 'tp').
+    opt_rule_sh = (
         param_shardings(state.params, mesh, opt_rule_mode)
         if opt_rule_mode != param_mode else p_sh
     )
-    shape_to_sh = {}
-    for leaf, sh in zip(flat_p, flat_sh):
-        shape_to_sh.setdefault((leaf.shape, leaf.dtype), sh)
+    flat_p = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_sh = jax.tree_util.tree_flatten_with_path(opt_rule_sh)[0]
+    by_path = {
+        tuple(str(k) for k in path): (tuple(getattr(leaf, "shape", ())), sh)
+        for (path, leaf), (_, sh) in zip(flat_p, flat_sh)
+    }
 
-    def opt_sh(leaf):
-        return shape_to_sh.get((getattr(leaf, "shape", ()), getattr(leaf, "dtype", None)), rep)
+    def opt_sh(path, leaf):
+        keys = tuple(str(k) for k in path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        for i in range(len(keys)):  # longest suffix first
+            hit = by_path.get(keys[i:])
+            if hit is not None and hit[0] == shape:
+                return hit[1]
+        return rep
 
-    o_sh = jax.tree_util.tree_map(opt_sh, state.opt_state)
+    o_sh = jax.tree_util.tree_map_with_path(opt_sh, state.opt_state)
     t_sh = (
         param_shardings(state.target_params, mesh, param_mode)
         if state.target_params is not None

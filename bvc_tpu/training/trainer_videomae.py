@@ -120,38 +120,31 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 "val_loss": meta.get("val_loss", 0.0),
             }
     seq_parallel = "seq" in mesh.axis_names
+    probes = {}
+    if cfg.log_grad_stats:
+        from bvc_tpu.training.probes import full_grad_probes
+
+        probes.update(full_grad_probes("videomae"))
     if seq_parallel:
         # long-clip mode: time axis sharded over 'seq', ring attention
-        # (bvc_tpu/parallel/seqpar.py; SCALING.md "Sequence parallelism")
-        if cfg.param_sharding != "replicated":
-            raise ValueError(
-                "sequence parallelism composes with replicated params only "
-                f"(got param_sharding={cfg.param_sharding!r})"
-            )
-        if cfg.optim.grad_accum_steps > 1:
-            raise ValueError(
-                "grad_accum_steps > 1 is not supported on the "
-                "sequence-parallel step"
-            )
-        if cfg.log_grad_stats:
-            raise ValueError(
-                "log_grad_stats is not supported on the sequence-parallel "
-                "step (the CSV grad columns are still produced)"
-            )
+        # (bvc_tpu/parallel/seqpar.py; SCALING.md "Sequence parallelism").
+        # Composes with 'replicated' or 'zero1' param sharding, grad
+        # accumulation, and grad-stats probes; make_seq_videomae_train_step
+        # rejects fsdp/tp with the real reason.
         from bvc_tpu.parallel.seqpar import (
             make_seq_videomae_train_step, require_process_local_seq,
         )
 
         require_process_local_seq(mesh)
-        state = place_state(state, mesh, "replicated")
-        step = make_seq_videomae_train_step(mesh, cfg.model, cfg.mask, tx)
+        # step construction validates param_sharding — before place_state
+        # can trip on a mesh that lacks the axes fsdp/tp would need
+        step = make_seq_videomae_train_step(
+            mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, probes,
+            grad_accum=cfg.optim.grad_accum_steps,
+        )
+        state = place_state(state, mesh, cfg.param_sharding)
     else:
         state = place_state(state, mesh, cfg.param_sharding)
-        probes = {}
-        if cfg.log_grad_stats:
-            from bvc_tpu.training.probes import full_grad_probes
-
-            probes.update(full_grad_probes("videomae"))
         step = make_videomae_train_step(
             mesh, cfg.model, cfg.mask, tx, cfg.param_sharding, probes,
             grad_accum=cfg.optim.grad_accum_steps,

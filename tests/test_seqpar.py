@@ -106,6 +106,112 @@ class TestSeqParallelStep:
         m_b = step_b.eval_step(state_b, shard_seq_batch(video, mesh_sp), 3)
         assert float(m_b["loss"]) == pytest.approx(float(m_a["loss"]), abs=2e-5)
 
+    def test_grad_accum_matches_plain(self, rng):
+        # scan-accumulated microbatches must reproduce the single-shot
+        # step exactly (same masks: sampled once for the whole local
+        # batch before the split)
+        cfg = _tiny_cfg()
+        mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.5)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = _video(rng)
+        mesh = make_seq_mesh(2, 4)
+
+        from bvc_tpu.training.probes import full_grad_probes
+
+        losses = {}
+        states = {}
+        for accum in (1, 2):
+            # place_state copies: the step donates its input state
+            state = place_state(
+                TrainState.create(params, tx, jax.random.PRNGKey(7)), mesh
+            )
+            step = make_seq_videomae_train_step(
+                mesh, cfg, mask_cfg, tx, grad_accum=accum,
+                grad_probes=full_grad_probes("videomae"),
+            )
+            state, metrics = step(state, shard_seq_batch(video, mesh))
+            losses[accum] = float(metrics["loss"])
+            states[accum] = state
+            # lifted restriction: probes now run on the seq step
+            assert any(k not in ("loss",) and "grad" in k for k in metrics)
+        assert losses[2] == pytest.approx(losses[1], abs=2e-5)
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(states[1].params),
+            jax.tree_util.tree_leaves(states[2].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-5
+            )
+
+    def test_zero1_matches_replicated(self, rng):
+        # seqpar x zero1: momentum sharded over 'data', same numerics
+        cfg = _tiny_cfg()
+        mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.5)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = _video(rng)
+        mesh = make_seq_mesh(2, 4)
+
+        results = {}
+        for mode in ("replicated", "zero1"):
+            state = place_state(
+                TrainState.create(params, tx, jax.random.PRNGKey(7)),
+                mesh, mode,
+            )
+            step = make_seq_videomae_train_step(
+                mesh, cfg, mask_cfg, tx, param_mode=mode
+            )
+            losses = []
+            for _ in range(3):
+                state, metrics = step(state, shard_seq_batch(video, mesh))
+                losses.append(float(metrics["loss"]))
+            results[mode] = (losses, state)
+        np.testing.assert_allclose(
+            results["zero1"][0], results["replicated"][0], rtol=1e-5
+        )
+        # params replicated, at least the big momentum leaves data-sharded
+        z_state = results["zero1"][1]
+        for leaf in jax.tree_util.tree_leaves(z_state.params):
+            assert leaf.sharding.is_fully_replicated
+        assert any(
+            hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+            for l in jax.tree_util.tree_leaves(z_state.opt_state)
+        ), "zero1 must shard optimizer state over 'data'"
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(results["replicated"][1].params),
+            jax.tree_util.tree_leaves(z_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-5
+            )
+
+    def test_rejects_fsdp_tp_param_modes(self):
+        mesh = make_seq_mesh(2, 4)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1))
+        for mode in ("fsdp", "tp"):
+            with pytest.raises(ValueError, match="replicated"):
+                make_seq_videomae_train_step(
+                    mesh, _tiny_cfg(), MaskConfig(sampler="tube", mask_ratio=0.5),
+                    tx, param_mode=mode,
+                )
+
+    def test_grad_accum_must_divide_local_rows(self, rng):
+        mesh = make_seq_mesh(2, 4)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1))
+        cfg = _tiny_cfg()
+        step = make_seq_videomae_train_step(
+            mesh, cfg, MaskConfig(sampler="tube", mask_ratio=0.5), tx,
+            grad_accum=3,
+        )
+        state = TrainState.create(
+            videomae.init_params(jax.random.PRNGKey(0), cfg), tx,
+            jax.random.PRNGKey(7),
+        )
+        with pytest.raises(ValueError, match="divide"):
+            # 8 rows / 2 data shards = 4 local rows; 3 does not divide 4
+            step(state, shard_seq_batch(_video(rng), mesh))
+
     def test_rejects_random_sampler(self):
         mesh = make_seq_mesh(2, 4)
         tx = make_optimizer(OptimConfig(name="sgd", lr=0.1))
@@ -202,10 +308,11 @@ class TestTrainerSeqParallel:
                 setattr(obj, keys[-1], v)
             return cfg
 
+        # fsdp/tp stay rejected (they shard the params the ring step holds
+        # whole); zero1 + grad accumulation are supported as of round 4 —
+        # equivalence covered in TestSeqParallelStep
         with pytest.raises(ValueError, match="replicated"):
             run_pretraining(cfg_with(param_sharding="fsdp"))
-        with pytest.raises(ValueError, match="grad_accum"):
-            run_pretraining(cfg_with(**{"optim.grad_accum_steps": 2}))
 
 
 class TestSeqParallelExtraction:

@@ -169,3 +169,42 @@ class TestParamShardingModes:
         # tp run needs its own batch built over the 4-wide data axis
         b = self._run(mesh_tp, "tp")
         np.testing.assert_allclose(a, b, rtol=1e-4)
+
+    def test_opt_state_sharding_follows_tree_path_not_shape(self):
+        """Two SAME-SHAPE params under different TP rules (qkv column- vs
+        proj row-parallel) must get distinct optimizer-state shardings —
+        a (shape, dtype) first-match map would silently share one."""
+        from bvc_tpu.training.steps import _tree_shardings
+
+        mesh = make_mesh({"data": 4, "model": 2})
+        D = 8  # square kernels: qkv [D, D] and proj [D, D] identical shape
+        params = {
+            "blocks": {
+                "attn": {
+                    "qkv": {"kernel": jnp.ones((D, D))},
+                    "proj": {"kernel": jnp.ones((D, D))},
+                }
+            }
+        }
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+        sh = _tree_shardings(state, mesh, "tp")
+        p_sh = sh.params["blocks"]["attn"]
+        assert p_sh["qkv"]["kernel"].spec == P(None, "model")   # column
+        assert p_sh["proj"]["kernel"].spec == P("model", None)  # row
+        # the momentum trace must mirror each param's OWN sharding
+        trace = None
+        for entry in sh.opt_state:
+            if hasattr(entry, "trace"):
+                trace = entry.trace["blocks"]["attn"]
+        assert trace is not None
+        assert trace["qkv"]["kernel"].spec == P(None, "model")
+        assert trace["proj"]["kernel"].spec == P("model", None)
+        # scalars (e.g. nothing params-shaped) stay replicated: place and
+        # run one no-op check that the state actually materialises
+        placed = place_state(state, mesh, "tp")
+        for got, want in zip(
+            jax.tree_util.tree_leaves(placed.opt_state),
+            jax.tree_util.tree_leaves(sh.opt_state),
+        ):
+            assert got.sharding.spec == want.spec
