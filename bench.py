@@ -1,7 +1,19 @@
-"""Benchmark: VideoMAE-B pretraining step throughput on the local chip.
+"""Benchmark: the framework's north-star metrics on the local chip.
 
-Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}``.
+Prints one JSON line per metric, with the flagship LAST (the driver
+tail-parses the final line):
+
+1. ``videomae_embed_extraction_throughput`` (frames/sec/chip) — the
+   second north-star in BASELINE.json (reference hot loop:
+   ``benchmarks/compute_embeddings_videomae.py:253-264``).
+2. ``jepa_vitb_pretrain_throughput`` (clips/sec/chip).
+3. ``simclr_resnet18_pretrain_throughput`` (pairs/sec/chip).
+4. ``videomae_b_pretrain_throughput`` (clips/sec/chip) — the flagship:
+   ``{"metric": ..., "value": N, "unit": "clips/sec/chip",
+   "vs_baseline": N}``.
+
+Secondary benches are individually guarded: a failure prints a ``#``
+comment line and the flagship still runs (and stays the tail line).
 
 Baseline derivation (the reference publishes no numbers — BASELINE.md):
 the generative curriculum job must fit 3 stages x 5 epochs x 2000 iters x
@@ -10,31 +22,34 @@ the generative curriculum job must fit 3 stages x 5 epochs x 2000 iters x
 minimum of 1.92M clips / 104400 s / 4 GPUs ≈ 4.6 clips/sec/GPU.
 ``vs_baseline`` is measured clips/sec/chip over that per-accelerator
 floor.
+
+Usage: ``python bench.py [all|flagship|extract|families]`` (default all).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 BASELINE_CLIPS_PER_SEC_PER_ACCEL = 4.6
 
+_TOOLS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
 
-def main():
-    from bvc_tpu.utils.runtime import setup_runtime
 
-    setup_runtime()
-    from bvc_tpu.masks.tube import tube_mask
+def flagship():
+    import jax
+
     from bvc_tpu.models import videomae
     from bvc_tpu.parallel import make_mesh, shard_batch
     from bvc_tpu.training.optim import make_optimizer
     from bvc_tpu.training.steps import make_videomae_train_step, place_state
     from bvc_tpu.training.state import TrainState
     from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
+    from bvc_tpu.utils.profiling import sync
 
     cfg = ModelConfig()  # VideoMAE-B, 224px, 16f, tubelet 2, bf16 compute
     mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.9)
@@ -45,8 +60,6 @@ def main():
     # helper rejects the larger program
     tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
     params = videomae.init_params(jax.random.PRNGKey(0), cfg)
-
-    from bvc_tpu.utils.profiling import sync
 
     step = None
     for per_device_batch in (48, 32, 16):
@@ -98,7 +111,41 @@ def main():
         "unit": "clips/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_CLIPS_PER_SEC_PER_ACCEL, 2),
         "mfu_pct": round(mfu_pct, 1),
-    }))
+    }), flush=True)
+
+
+def main():
+    from bvc_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    sys.path.insert(0, _TOOLS)
+
+    # Secondary metrics FIRST: the driver parses the LAST stdout line as
+    # the flagship, so these must never print after it.  Each is guarded
+    # — a secondary failure must not cost the flagship number.
+    if which in ("extract", "all"):
+        try:
+            import bench_extract
+
+            bench_extract.bench("videomae")
+        except Exception as e:
+            print(f"# extraction bench failed: {e}", flush=True)
+    if which in ("families", "all"):
+        try:
+            import bench_families
+
+            bench_families.bench_jepa()
+        except Exception as e:
+            print(f"# jepa bench failed: {e}", flush=True)
+        try:
+            import bench_families
+
+            bench_families.bench_simclr()
+        except Exception as e:
+            print(f"# simclr bench failed: {e}", flush=True)
+    if which in ("flagship", "all"):
+        flagship()
 
 
 if __name__ == "__main__":
