@@ -324,7 +324,17 @@ class UCF101Dataset:
         if not cap.isOpened():
             warnings.warn(f"unable to open {path}")
             return None, None
-        cap.set(cv2.CAP_PROP_POS_FRAMES, int(orig[0]))
+        # sequential decode from frame 0: CAP_PROP_POS_FRAMES seeking is
+        # codec-dependent (inter-frame codecs can land off-by-several vs
+        # torchvision's pts-based reads), so the start offset is reached
+        # by grab()-skipping — decode-without-convert, correct by
+        # construction.  Cheap for the real workload: UCF101's
+        # step_between_clips=300 puts almost every clip at frame 0
+        # (pixel-fidelity pinned by tests/test_evalbench.py
+        # test_ucf_clip_pixels_match_sequential_decode).
+        for _ in range(int(orig[0])):
+            if not cap.grab():
+                break
         wanted = set(int(i) for i in orig)
         frames_by_idx: dict[int, np.ndarray] = {}
         pos = int(orig[0])
