@@ -60,6 +60,12 @@ def build_parser():
                    help="write the curriculum as a runnable shell script "
                         "(the reference's slurmscripts analogue) to this "
                         "path and exit without training")
+    p.add_argument("--sbatch", type=str, default="n",
+                   help="y: prepend an #SBATCH header to --emit_script "
+                        "output (reference slurm_dev_def.bash:1-14 "
+                        "analogue, TPU partition)")
+    p.add_argument("--job_name", type=str, default="",
+                   help="SBATCH job name (default job_{seed}_{curr}_{preset})")
     p.add_argument("--override", type=str, default="",
                    help="comma-separated preset overrides, e.g. "
                         "'n_epoch=1,max_epoch_iters=3,n_trainsamples=64,"
@@ -102,6 +108,8 @@ def main(argv=None):
             frame_rate=args.frame_rate,
             extract_batch_size=args.extract_batch_size,
             preset_name=args.preset,
+            sbatch=args.sbatch == "y",
+            job_name=args.job_name or None,
         )
         with open(args.emit_script, "w") as f:
             f.write(script)

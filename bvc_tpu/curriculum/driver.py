@@ -146,6 +146,8 @@ def emit_script(
     frame_rate: int = 12,
     extract_batch_size: int = 64,
     preset_name: str | None = None,
+    sbatch: bool = False,
+    job_name: str | None = None,
 ) -> str:
     """The curriculum as a runnable shell script — the reference ships its
     grids as bash (``slurmscripts/*``); this emits the equivalent over
@@ -160,6 +162,14 @@ def emit_script(
     ``_run_extraction``, and omitting them would make the script sample
     benchmarks at the CLI defaults instead.  Matched* control conditions
     additionally emit ``--control_data_root`` (env-overridable).
+
+    ``sbatch=True`` prepends an ``#SBATCH`` header mirroring the
+    reference's (``slurmscripts/generative/slurm_dev_def.bash:1-14``:
+    1 node, 40 CPUs, 1d05h wall limit, mail on FAIL) with the
+    accelerator line adapted to a TPU partition; without it the script
+    is a plain shell runner.  The reference's staggered-sleep preamble
+    (``:26-30``, avoiding NCCL port collisions between concurrent jobs)
+    is intentionally NOT mirrored — SPMD has no rendezvous port.
     """
     from bvc_tpu.data.factory import CONTROL_CONDITIONS
 
@@ -184,8 +194,23 @@ def emit_script(
     }.get(preset_name, preset_name)
     ref_script = ("slurm_unt_def.bash" if preset_name == "predictive_unt"
                   else f"slurm_{curriculum}_def.bash")
+    header: list[str] = []
+    if sbatch:
+        name = job_name or f"job_{seed}_{curriculum}_{preset_name}"
+        header = [
+            f"#SBATCH --job-name={name}",
+            f"#SBATCH --output={name}_Out",
+            f"#SBATCH --error={name}_Err",
+            "#SBATCH --nodes=1",
+            "#SBATCH --ntasks-per-node=1",
+            "#SBATCH --cpus-per-task=40",
+            "#SBATCH --time=1-05:00:00",
+            "#SBATCH --partition=tpu",
+            "#SBATCH --mail-type=FAIL",
+        ]
     lines = [
         "#!/bin/bash",
+        *header,
         f"# {curriculum} curriculum, preset {preset_name}, seed {seed}, "
         f"condition {condition} —",
         f"# generated by bvc_tpu.curriculum.emit_script (reference "

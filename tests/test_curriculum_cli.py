@@ -62,6 +62,30 @@ class TestEmitScript:
             assert text.count('INIT="$SAVEDIR/model_') == 3
             assert "compute_embeddings -ds_task ssv2" in text
 
+    def test_sbatch_header_opt_in(self, tmp_path):
+        # reference slurm_dev_def.bash:1-14 analogue; plain scripts carry
+        # no scheduler header
+        import subprocess
+
+        from bvc_tpu.cli.run_curriculum import main
+
+        out = tmp_path / "with_sbatch.sh"
+        main(["-jpg_root", "/data/hv", "-savedir", "/out",
+              "--preset", "generative", "--curriculum", "dev",
+              "--seed", "7", "--sbatch", "y", "--emit_script", str(out)])
+        text = out.read_text()
+        assert text.startswith("#!/bin/bash\n#SBATCH --job-name=job_7_dev_generative")
+        for line in ("#SBATCH --nodes=1", "#SBATCH --cpus-per-task=40",
+                     "#SBATCH --time=1-05:00:00", "#SBATCH --mail-type=FAIL"):
+            assert line in text
+        assert subprocess.run(["bash", "-n", str(out)]).returncode == 0
+
+        plain = tmp_path / "plain.sh"
+        main(["-jpg_root", "/data/hv", "-savedir", "/out",
+              "--preset", "generative", "--curriculum", "dev",
+              "--seed", "7", "--emit_script", str(plain)])
+        assert "#SBATCH" not in plain.read_text()
+
     def test_stage_overrides_reach_the_script(self, tmp_path):
         # contrastive per-stage lr schedule 1e-2 -> 1e-3 -> 1e-4
         from bvc_tpu.curriculum.driver import emit_script

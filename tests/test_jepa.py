@@ -220,6 +220,50 @@ class TestJepaTrainStep:
         assert float(m0["ema_m"]) == pytest.approx(0.996, abs=1e-6)
         assert float(m1["ema_m"]) > float(m0["ema_m"])
 
+    def test_masked_flash_route_full_step_matches_xla(self, monkeypatch):
+        """The 768 MiB masked-flash auto-route (ops/attention.py
+        ``masked_auto_impl``) exists for the JEPA bs-128 config but — on
+        the dev box — the full routed step could not run on real hardware
+        (remote-compile ceiling, PERFORMANCE.md round 3).  Force the
+        route here (threshold 0, router told it is on TPU, flash kernels
+        in interpret mode) and assert the FULL train step engages it and
+        matches the XLA-path step's loss and updated params."""
+        import bvc_tpu.ops.attention as attn_mod
+        import bvc_tpu.ops.flash_attention as flash_mod
+
+        # baseline: the masked-XLA path
+        mesh, cfg, state, step = self._setup()
+        batch = self._batch(mesh)
+        state_a, metrics_a = step(state, batch)
+
+        calls: list = []
+        orig_flash = flash_mod.flash_attention
+
+        def counting_flash(q, k, v, **kw):
+            calls.append(tuple(q.shape))
+            kw["interpret"] = True
+            return orig_flash(q, k, v, **kw)
+
+        monkeypatch.setattr(flash_mod, "flash_attention", counting_flash)
+        monkeypatch.setattr(attn_mod, "MASKED_XLA_SCORE_BYTES_LIMIT", 0)
+        orig_route = attn_mod.masked_auto_impl
+
+        def tpu_route(b, h, n_q, n_k, on_tpu, bytes_per_elem=4):
+            return orig_route(b, h, n_q, n_k, True, bytes_per_elem)
+
+        monkeypatch.setattr(attn_mod, "masked_auto_impl", tpu_route)
+
+        mesh2, cfg2, state2, step2 = self._setup()
+        state_b, metrics_b = step2(state2, self._batch(mesh2))
+        assert calls, "masked-flash route did not engage"
+        assert float(metrics_b["loss"]) == pytest.approx(
+            float(metrics_a["loss"]), rel=1e-4, abs=1e-6)
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(jax.device_get(state_a.params)),
+            jax.tree_util.tree_leaves(jax.device_get(state_b.params)),
+        ):
+            np.testing.assert_allclose(la, lb, rtol=1e-4, atol=1e-6)
+
     def test_autocast_scores_modes_agree(self):
         # bf16 logits on the gradient paths (reference full-autocast
         # quantization point, the round-3 default): trains with a finite
