@@ -97,16 +97,19 @@ def _is_seq_mesh(mesh) -> bool:
     return mesh is not None and "seq" in getattr(mesh, "axis_names", ())
 
 
-def _seq_jit_embed(params_tree: Any, mesh, model_cfg: ModelConfig) -> Callable:
-    """Sequence-parallel VideoMAE embed over a ``('data','seq')`` mesh —
-    ring attention with the TIME axis sharded (``parallel/seqpar.py``),
-    for clips whose full-attention activations exceed one chip.  Same
+def _seq_jit_embed(params_tree: Any, mesh, model_cfg: ModelConfig,
+                   family: str = "videomae") -> Callable:
+    """Sequence-parallel embed over a ``('data','seq')`` mesh — ring
+    attention with the TIME axis sharded (``parallel/seqpar.py``), for
+    clips whose full-attention activations exceed one chip.  VideoMAE
+    (classifier-head pooling) and JEPA (patch-token mean) cores; same
     ``fn(video_np) → [B, D]`` contract as :func:`_jit_embed`'s mesh mode;
-    equivalence with the single-device ``videomae.embed`` is pinned by
+    equivalence with the single-device embeds is pinned by
     ``tests/test_seqpar.py``.
     """
     from bvc_tpu.parallel.seqpar import (
-        make_seq_embed_fn, require_process_local_seq, shard_seq_batch,
+        make_seq_embed_fn, make_seq_jepa_embed_fn, require_process_local_seq,
+        shard_seq_batch,
     )
 
     require_process_local_seq(mesh)
@@ -115,7 +118,8 @@ def _seq_jit_embed(params_tree: Any, mesh, model_cfg: ModelConfig) -> Callable:
     # via the process-local placement path, and gather_output returns the
     # global rows replicated so every host can materialise them;
     # extract_embeddings then slices out this host's segment.
-    core = make_seq_embed_fn(mesh, model_cfg, gather_output=multi)
+    maker = make_seq_jepa_embed_fn if family == "jepa" else make_seq_embed_fn
+    core = maker(mesh, model_cfg, gather_output=multi)
     placed = jax.device_put(params_tree, replicated_sharding(mesh))
 
     def fn(video):
@@ -125,11 +129,12 @@ def _seq_jit_embed(params_tree: Any, mesh, model_cfg: ModelConfig) -> Callable:
 
 
 def _require_videomae_for_seq(family: str, mesh) -> None:
-    if _is_seq_mesh(mesh) and family != "videomae":
+    if _is_seq_mesh(mesh) and family not in ("videomae", "jepa"):
         raise ValueError(
-            "sequence-parallel extraction is videomae-only (jepa/simclr "
-            f"clips fit one chip; got family={family!r} on a 'seq' mesh). "
-            "Use a pure-data mesh for this family."
+            "sequence-parallel extraction supports videomae and jepa "
+            f"(simclr embeds ONE frame — there is no sequence axis to "
+            f"shard; got family={family!r} on a 'seq' mesh). Use a "
+            "pure-data mesh for simclr."
         )
 
 
@@ -174,9 +179,14 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
         # loads checkpoint['encoder'] (compute_embeddings_jepa.py:87-89,
         # helper.py:36-38); the EMA target is never used for embeddings
         enc = restored.get("encoder", restored.get("target_encoder"))
+        enc = jax.tree_util.tree_map(np.asarray, enc)
+        if _is_seq_mesh(mesh):
+            return _with_dim(
+                _seq_jit_embed(enc, mesh, model_cfg, family="jepa"),
+                family, model_cfg)
         return _with_dim(_jit_embed(
             lambda prm, video: jepa_model.embed(prm, video, model_cfg),
-            jax.tree_util.tree_map(np.asarray, enc), mesh,
+            enc, mesh,
         ), family, model_cfg)
     if family == "simclr":
         from bvc_tpu.models import resnet
@@ -218,6 +228,10 @@ def untrained_embed_fn(family: str, model_cfg: ModelConfig, seed: int = 0,
         from bvc_tpu.models import jepa as jepa_model
 
         params = jepa_model.init_encoder_params(jax.random.PRNGKey(seed), model_cfg)
+        if _is_seq_mesh(mesh):
+            return _with_dim(
+                _seq_jit_embed(params, mesh, model_cfg, family="jepa"),
+                family, model_cfg)
         return _with_dim(_jit_embed(
             lambda prm, v: jepa_model.embed(prm, v, model_cfg), params, mesh
         ), family, model_cfg)

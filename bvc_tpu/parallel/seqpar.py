@@ -497,3 +497,59 @@ def make_seq_embed_fn(mesh: Mesh, cfg: ModelConfig,
             check_vma=not gather_output,
         )
     )
+
+
+def make_seq_jepa_embed_fn(mesh: Mesh, cfg: ModelConfig,
+                           gather_output: bool = False) -> Callable:
+    """Sequence-parallel twin of :func:`bvc_tpu.models.jepa.embed` — the
+    mean over patch tokens of the final-normed encoder output
+    (``benchmarks/compute_embeddings_jepa.py:242`` pooling) with the TIME
+    axis sharded over ``seq``.  ``embed(enc_params, video)`` with video
+    placed by :func:`shard_seq_batch`; returns ``[B, D]``.
+
+    Exactness mirrors the VideoMAE embed: ring attention sees the same
+    global key set, the final LayerNorm is per-token (local), and the
+    token mean is a ``psum`` of local sums over the global count.  The
+    spatial-resolution interpolation path of ``encoder_forward`` is not
+    supported here (inputs must match ``cfg.image_size``).
+    """
+    _check_mesh(mesh)
+    n_shards = _seq_size(mesh)
+    _local_sheets(cfg, n_shards)  # divisibility check
+    from bvc_tpu.models import jepa as jepa_model
+    from bvc_tpu.models.videomae import normalize_on_device
+    from bvc_tpu.models.vit import layer_norm, run_blocks
+    from bvc_tpu.ops.patchify import tubelet_patchify
+
+    table = jepa_model.encoder_pos_table(cfg)  # [N, D] t-major
+    n_total = table.shape[0]
+
+    def local_embed(enc_params: dict, video_local: jnp.ndarray) -> jnp.ndarray:
+        dtype = jepa_model._dtype(cfg)
+        video = normalize_on_device(video_local)
+        tokens = tubelet_patchify(
+            video, enc_params["patch_embed"]["kernel"],
+            enc_params["patch_embed"]["bias"],
+            cfg.tubelet_size, cfg.patch_size, dtype,
+        )
+        tokens = tokens + _local_pos_rows(table, n_shards).astype(dtype)[None]
+        x = run_blocks(
+            enc_params["blocks"], tokens, cfg.num_heads, cfg.layer_norm_eps,
+            cfg.remat, attn_impl=f"ring:{SEQ_AXIS}", unroll=cfg.depth <= 12,
+        )
+        x = layer_norm(x, enc_params["norm"], cfg.layer_norm_eps)
+        emb = jax.lax.psum(
+            jnp.sum(x.astype(jnp.float32), axis=1), SEQ_AXIS
+        ) / n_total
+        if gather_output:
+            emb = jax.lax.all_gather(emb, DATA_AXIS, axis=0, tiled=True)
+        return emb
+
+    return jax.jit(
+        jax.shard_map(
+            local_embed, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, SEQ_AXIS)),
+            out_specs=P() if gather_output else P(DATA_AXIS),
+            check_vma=not gather_output,
+        )
+    )

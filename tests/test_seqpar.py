@@ -361,15 +361,36 @@ class TestSeqParallelExtraction:
         assert len(fnames) == 7
         assert embs.shape == (7, cfg.hidden_size)
 
-    def test_non_videomae_family_raises(self):
+    def test_jepa_seq_embed_matches_single_device(self):
+        # round-4 lift: jepa extraction also rides the 'seq' mesh (ring
+        # attention + psum'd token mean), matching jepa.embed exactly
+        from bvc_tpu.evalbench.extract import untrained_embed_fn
+        from bvc_tpu.models import jepa
+        from bvc_tpu.utils.config import ModelConfig
+
+        jcfg = ModelConfig(family="jepa", image_size=32, patch_size=8,
+                           num_frames=8, tubelet_size=1, hidden_size=16,
+                           depth=2, num_heads=2, dtype="float32")
+        rng = np.random.default_rng(5)
+        video = rng.integers(0, 255, (4, 8, 32, 32, 3), dtype=np.uint8
+                             ).astype(np.float32)
+        mesh_sp = make_seq_mesh(2, 4)
+        fn_seq = untrained_embed_fn("jepa", jcfg, seed=0, mesh=mesh_sp)
+        params = jepa.init_encoder_params(jax.random.PRNGKey(0), jcfg)
+        want = jepa.embed(params, jnp.asarray(video), jcfg)
+        np.testing.assert_allclose(
+            np.asarray(fn_seq(video)), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+        assert fn_seq.feature_dim == jcfg.hidden_size
+
+    def test_simclr_family_raises(self):
         from bvc_tpu.evalbench.extract import untrained_embed_fn
         from bvc_tpu.utils.config import ModelConfig
 
-        jcfg = ModelConfig(family="jepa", image_size=16, patch_size=8,
-                           num_frames=2, tubelet_size=1, hidden_size=16,
-                           depth=1, num_heads=2, dtype="float32")
-        with pytest.raises(ValueError, match="videomae-only"):
-            untrained_embed_fn("jepa", jcfg, mesh=make_seq_mesh(2, 4))
+        scfg = ModelConfig(family="simclr", architecture="resnet18",
+                           num_frames=2, tubelet_size=1)
+        with pytest.raises(ValueError, match="seq"):
+            untrained_embed_fn("simclr", scfg, mesh=make_seq_mesh(2, 4))
 
 
 class TestProcessLocalSeqGuard:
