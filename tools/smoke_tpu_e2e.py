@@ -75,8 +75,11 @@ def build_control_pkls(control_root: str, jpg_root: str,
                 continue
             rel = [p.replace(jpg_root, "")
                    for p in get_fpathlist(jpg_root, subj)]
+            # dense stride-2 windows: a 1-subject group (g1 here) yields
+            # ~113 seqs → seq-unit fold segments of 24 leave every fold
+            # ≥24 seqs (stage 2 runs fold 2)
             seqs += [rel[i:i + seq_len]
-                     for i in range(0, len(rel) - seq_len + 1, 8)]
+                     for i in range(0, len(rel) - seq_len + 1, 2)]
         with open(os.path.join(control_root, f"{g}_samples.pkl"), "wb") as f:
             pickle.dump(seqs, f)
 
