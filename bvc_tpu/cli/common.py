@@ -53,6 +53,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--log_grad_stats", type=str, default="n",
                    help="y: device-side per-layer grad-norm stats table "
                         "(the reference grad_logger meter) in the log line")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture one jax.profiler trace of train steps "
+                        "1-3 to this dir (TensorBoard/Perfetto timeline)")
     # LR/WD schedules — the reference ships I-JEPA's warmup-cosine
     # schedulers disabled (predictive/helper.py:148-161); opt-in here
     p.add_argument("--lr_schedule", type=str, default="none",
@@ -99,6 +102,7 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     cfg.async_save = getattr(args, "async_save", "n") == "y"
     cfg.resume = getattr(args, "resume", "n") == "y"
     cfg.log_grad_stats = getattr(args, "log_grad_stats", "n") == "y"
+    cfg.profile_dir = getattr(args, "profile_dir", "")
 
     d = cfg.data
     d.jpg_root = args.jpg_root

@@ -267,6 +267,9 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         )
 
     loss_meter = AverageMeter()
+    from bvc_tpu.utils.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(cfg.profile_dir)  # no-op when unset
     for epoch in range(start_epoch, chain_start + cfg.n_epoch):
         loss_meter = AverageMeter()
         maskA = AverageMeter()
@@ -297,6 +300,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
         pipe = MetricsPipe(log_fn, time_every=cfg.log_freq)
         for itr, batch in enumerate(loader.epoch(epoch)):
+            tracer.step()
             state, metrics = step(state, batch)
             pipe_ms[0] = pipe.push(itr, metrics)
         pipe.flush()
@@ -304,6 +308,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         if cfg.save_every_epoch and epoch + 1 < chain_start + cfg.n_epoch:
             save(epoch + 1)
 
+    tracer.close()
     chpt = checkpoint_path(folder, cfg.run_id)
     save(chain_start + cfg.n_epoch)
     save_wait()  # async: the returned path must be complete on disk

@@ -177,6 +177,9 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         )
 
     loss_meter = AverageMeter()
+    from bvc_tpu.utils.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(cfg.profile_dir)  # no-op when unset
     for epoch in range(start_epoch, cfg.n_epoch):
         loss_meter = AverageMeter()
         pipe_ms = [0.0]
@@ -197,6 +200,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
         pipe = MetricsPipe(log_fn, time_every=cfg.log_freq)
         for itr, batch in enumerate(loader.epoch(epoch)):
+            tracer.step()
             state, metrics = step(state, batch)
             pipe_ms[0] = pipe.push(itr, metrics)
         pipe.flush()
@@ -204,6 +208,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         if cfg.save_every_epoch and epoch + 1 < cfg.n_epoch:
             save(epoch + 1)
 
+    tracer.close()
     chpt = checkpoint_path(folder, cfg.run_id)
     save(cfg.n_epoch)
     save_wait()  # async: the returned path must be complete on disk

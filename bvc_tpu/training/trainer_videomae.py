@@ -216,6 +216,9 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             },
         )
 
+    from bvc_tpu.utils.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(cfg.profile_dir)  # no-op when unset
     loss_meter = {}
     for epoch in range(start_epoch, cfg.n_epoch):
         loss_meter = {p: AverageMeter() for p in ("train", "val")}
@@ -254,6 +257,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             pipe = MetricsPipe(log_fn, time_every=cfg.log_freq)
             for itr, batch in enumerate(loader.epoch(epoch)):
                 if phase == "train":
+                    tracer.step()
                     state, metrics = step(state, batch)
                 else:
                     metrics = step.eval_step(state, batch, itr)
@@ -264,6 +268,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         if cfg.save_every_epoch and epoch + 1 < cfg.n_epoch:
             save(epoch + 1)
 
+    tracer.close()
     # checkpoint ---------------------------------------------------------------
     chpt = checkpoint_path(folder, cfg.run_id)
     save(cfg.n_epoch)

@@ -286,6 +286,9 @@ class TrainConfig:
     # opt-in fuller grad_logger stats table (device-side avg/min/max over
     # per-layer grad norms; surfaces in the INFO log line, CSV unchanged)
     log_grad_stats: bool = False
+    # capture one jax.profiler trace (steps 1-3 of the run) to this dir;
+    # "" disables — the XLA-timeline upgrade of the reference's gpu_timer
+    profile_dir: str = ""
     script: str = ""
     # parallelism
     mesh_shape: dict[str, int] = field(default_factory=dict)  # {} → all 'data'

@@ -74,3 +74,42 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class StepTraceWindow:
+    """Capture ONE ``jax.profiler`` trace of train steps
+    ``[start, start + n)`` — the CLI's ``--profile_dir`` implementation.
+
+    The reference's only tracing is the cuda-event ``gpu_timer``
+    (``predictive/loggingtools.py:11-28``, ms per step); this captures
+    the full XLA op-level timeline instead, viewable in
+    TensorBoard/Perfetto.  ``start`` defaults past step 0 so the
+    compile isn't what gets traced.  No-op when ``logdir`` is empty;
+    multi-process runs trace only process 0 (one timeline is wanted,
+    not N identical ones).
+    """
+
+    def __init__(self, logdir: str, start: int = 1, n: int = 3):
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            logdir = ""
+        self.logdir = logdir
+        self.start, self.stop_at = start, start + n
+        self._seen = 0
+        self._open = False
+
+    def step(self, _itr: int | None = None) -> None:
+        """Call once per train step (before dispatching it)."""
+        if not self.logdir:
+            return
+        if self._seen == self.start and not self._open:
+            jax.profiler.start_trace(self.logdir)
+            self._open = True
+        elif self._seen == self.stop_at and self._open:
+            jax.profiler.stop_trace()
+            self._open = False
+        self._seen += 1
+
+    def close(self) -> None:
+        if self._open:
+            jax.profiler.stop_trace()
+            self._open = False

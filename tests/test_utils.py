@@ -135,3 +135,42 @@ class TestRuntimeCachePartition:
         setup_runtime()
         got = jax.config.jax_compilation_cache_dir
         assert got == str(tmp_path / "envcache" / host_fingerprint())
+
+
+class TestStepTraceWindow:
+    def test_traces_a_window_of_steps(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from bvc_tpu.utils.profiling import StepTraceWindow
+
+        f = jax.jit(lambda x: x * 2.0)
+        x = jnp.ones((8,))
+        w = StepTraceWindow(str(tmp_path / "trace"), start=1, n=2)
+        for _ in range(5):
+            w.step()
+            x = f(x)
+        w.close()
+        files = list((tmp_path / "trace").rglob("*"))
+        assert files, "profiler trace produced no files"
+
+    def test_disabled_is_noop(self, tmp_path):
+        from bvc_tpu.utils.profiling import StepTraceWindow
+
+        w = StepTraceWindow("")
+        for _ in range(3):
+            w.step()
+        w.close()  # no raise, nothing written
+
+    def test_close_mid_window(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from bvc_tpu.utils.profiling import StepTraceWindow
+
+        f = jax.jit(lambda x: x + 1.0)
+        w = StepTraceWindow(str(tmp_path / "t2"), start=0, n=100)
+        w.step()
+        f(jnp.ones(())).block_until_ready()
+        w.close()  # loop ended before the window did — must stop cleanly
+        assert list((tmp_path / "t2").rglob("*"))
