@@ -15,6 +15,8 @@ import argparse
 import json
 from pathlib import Path
 
+import jax
+
 from bvc_tpu.evalbench.extract import (
     extract_embeddings,
     make_embed_fn,
@@ -57,6 +59,10 @@ def build_parser():
                    help="e.g. 'data=8', or 'data=2,seq=4' (videomae "
                         "long-clip sequence-parallel embed, SCALING.md); "
                         "empty = all data")
+    p.add_argument("--resume", type=str, default="n",
+                   help="y: skip (checkpoint, phase) pairs whose "
+                        "embeddings CSV already exists -- preemption "
+                        "recovery for long --checkpoint_dir sweeps")
     return p
 
 
@@ -101,15 +107,40 @@ def main(argv=None):
         ckpts = ["na"]
 
     phases = ["train", "test"] if args.dataset_split == "both" else [args.dataset_split]
+
+    def _csv_exists(phase: str, run_id: str) -> bool:
+        out_dir = Path(args.savedir) / ("test" if phase == "test" else "")
+        return (out_dir / f"embeddings_{run_id}.csv").exists()
+
     results = []
     for ckpt in ckpts:
         if ckpt == "na":
             run_id = args.run_id or f"untrained_0_na_na_0_{args.seed}"
-            embed_fn = untrained_embed_fn(args.family, model_cfg, args.seed, mesh=mesh)
         else:
             run_id = args.run_id or run_id_from_checkpoint(ckpt)
+        todo = list(phases)
+        if args.resume == "y":
+            # preemption recovery for long --checkpoint_dir sweeps: a
+            # (checkpoint, phase) whose CSV is already on disk is done.
+            # Multi-host: only rank 0 writes CSVs, so every process
+            # adopts rank 0's view of what exists — a local check would
+            # desynchronise the collective extraction loop.
+            todo = [ph for ph in phases if not _csv_exists(ph, run_id)]
+            if jax.process_count() > 1:
+                from bvc_tpu.parallel.collectives import all_gather_objects
+
+                todo = all_gather_objects(todo)[0]
+            for ph in phases:
+                if ph not in todo:
+                    logger.info("skip %s/%s (embeddings CSV exists)",
+                                run_id, ph)
+            if not todo:
+                continue  # checkpoint never loaded — the expensive part
+        if ckpt == "na":
+            embed_fn = untrained_embed_fn(args.family, model_cfg, args.seed, mesh=mesh)
+        else:
             embed_fn = make_embed_fn(args.family, ckpt, model_cfg, mesh=mesh)
-        for phase in phases:
+        for phase in todo:
             dataset = make_task_dataset(
                 args.ds_task, args.vid_root, args.frame_rate, args.num_frames,
                 train=(phase == "train"), image_size=args.image_size,

@@ -628,3 +628,53 @@ class TestUCFCacheInvalidation:
         ds3 = UCF101Dataset(str(root), str(ann), train=True, sample_len=8,
                             step_between_clips=40, image_size=16)
         assert all(c[0] != rels[1] for c in ds3.clips)
+
+
+class TestExtractionSweepResume:
+    """--resume y skips (checkpoint, phase) pairs whose CSV exists —
+    preemption recovery for long --checkpoint_dir sweeps (the reference
+    re-extracts everything on restart, compute_embeddings_videomae.py:199-205)."""
+
+    def test_second_run_skips_and_preserves_csvs(self, tmp_path, monkeypatch):
+        import bvc_tpu.cli.compute_embeddings as ce
+
+        calls = []
+
+        def fake_untrained(family, cfg, seed=0, mesh=None):
+            calls.append("build")
+            fn = lambda v: np.zeros((len(v), 4), np.float32)
+            fn.feature_dim = 4
+            return fn
+
+        class _Ds:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                return np.zeros((2, 8, 8, 3), np.float32), f"v{i}.mp4"
+
+        monkeypatch.setattr(ce, "untrained_embed_fn", fake_untrained)
+        monkeypatch.setattr(ce, "make_task_dataset",
+                            lambda *a, **k: _Ds())
+        monkeypatch.setattr(
+            ce, "extract_embeddings",
+            lambda fn, ds, bs, mesh, nw: (
+                [f"v{i}.mp4" for i in range(3)], np.zeros((3, 4), np.float32)
+            ),
+        )
+        argv = ["-ds_task", "ssv2", "-vid_root", "/x",
+                "-savedir", str(tmp_path), "--family", "videomae",
+                "--resume", "y", "--run_id", "dev_0_na_default_0_0"]
+        first = ce.main(argv)
+        assert len(first) == 2 and calls == ["build"]
+        csv = tmp_path / "embeddings_dev_0_na_default_0_0.csv"
+        mtime = csv.stat().st_mtime_ns
+
+        second = ce.main(argv)
+        assert second == []                      # everything skipped
+        assert calls == ["build"]                # model never rebuilt
+        assert csv.stat().st_mtime_ns == mtime   # CSV untouched
+
+        # without --resume the sweep re-extracts
+        third = ce.main([a for a in argv if a not in ("--resume", "y")])
+        assert len(third) == 2 and calls == ["build", "build"]
