@@ -39,6 +39,7 @@ from bvc_tpu.models.initializers import (
     trunc_normal,
 )
 from bvc_tpu.ops.attention import multi_head_attention
+from bvc_tpu.ops.gelu import gelu
 
 
 def layer_norm(x: jnp.ndarray, params: dict, eps: float = 1e-6) -> jnp.ndarray:
@@ -139,7 +140,7 @@ def block_apply(params: dict, x: jnp.ndarray, num_heads: int,
 
     h = layer_norm(x, params["ln2"], ln_eps)
     h = _dense(h, params["mlp"]["fc1"], dtype)
-    h = jax.nn.gelu(h, approximate=False)
+    h = gelu(h)  # erf form; below-resolution poly fast path for bf16
     h = _dense(h, params["mlp"]["fc2"], dtype)
     if drop_path_rate is not None:
         h = drop_path(h, drop_path_rate, jax.random.fold_in(rng, 1))

@@ -437,7 +437,7 @@ def flash_attention(
     block_q: int = 784,
     block_k: int | None = None,
     bwd_block_q: int = 784,
-    bwd_block_k: int = 784,
+    bwd_block_k: int | None = None,
     interpret: bool = False,
     key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
@@ -478,15 +478,17 @@ def flash_attention(
     # VMEM guard for the fwd q-block: the f32 score tile is bq x bk
     bq_cap = max(sub, (6 * 2**20) // (Np * 4) // sub * sub)
     bq = _pick_block(Np, min(block_q, bq_cap), sub)
-    if block_k is None:
-        # measured on v5e: keeping the whole K/V in VMEM beats chunked
-        # streaming (the fori_loop dynamic slices defeat Mosaic's
-        # pipelining); fall back to 1024-chunks when K/V would blow VMEM
-        kv_bytes = 2 * Np * d * qt.dtype.itemsize
-        block_k = Np if kv_bytes <= 4 * 2**20 else 1024
-    bk = _pick_block(Np, block_k, sub)
+    # measured on v5e: keeping the whole K/V in VMEM beats chunked
+    # streaming (the fori_loop dynamic slices defeat Mosaic's
+    # pipelining); fall back to 1024-chunks when K/V would blow VMEM.
+    # The same holds for the backward's dq kernel (block-sweep at the
+    # [48, 1568, 6, 64] decoder shape: bwd_bk=1568 beats 784 by ~18%
+    # fwd+bwd, PERFORMANCE.md round-4 addendum).
+    kv_bytes = 2 * Np * d * qt.dtype.itemsize
+    full_kv = Np if kv_bytes <= 4 * 2**20 else 1024
+    bk = _pick_block(Np, full_kv if block_k is None else block_k, sub)
     bbq = _pick_block(Np, bwd_block_q, sub)
-    bbk = _pick_block(Np, bwd_block_k, sub)
+    bbk = _pick_block(Np, full_kv if bwd_block_k is None else bwd_block_k, sub)
     if key_mask is not None:
         # the bias kernels dynamically slice the LANE dim of the [1, Np]
         # bias row at key-block offsets — Mosaic requires those to be

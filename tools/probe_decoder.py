@@ -45,7 +45,10 @@ def main():
     from bvc_tpu.utils.config import ModelConfig
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # the tunnel's sync readback costs ~55 ms per timing loop; at reps=8
+    # that is a ~7 ms/rep floor that swamps sub-ms ops — 64 reps pushes
+    # it under 1 ms (the 'null' row below measures it directly)
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     cfg = ModelConfig()
     N, D, H = cfg.seq_len, cfg.decoder_hidden_size, cfg.decoder_num_heads
     d = D // H
@@ -61,9 +64,14 @@ def main():
         jnp.asarray(rng.standard_normal((B, N, H, d)), jnp.bfloat16))
     print(f"B={B} N={N} D={D} heads={H} depth={depth} reps={reps}")
 
+    # full-stack rows unroll reps x depth x fwd+bwd straight-line — cap
+    # their in-jit repetition to keep compiles tractable; their work is
+    # 10-100x the floor anyway
+    big_reps = max(8, reps // 8)
     rows = []
 
     def row(name, ms, flops, bytes_):
+        ms -= rows[0][1] if rows and rows[0][0] == "null (floor)" else 0.0
         roof = _roof(flops, bytes_)
         rows.append((name, ms, roof, flops, bytes_))
         eff = roof / ms * 100 if ms > 0 else 0
@@ -74,9 +82,15 @@ def main():
     bf2 = 2  # bf16 bytes
     BN = B * N
 
+    # ---- harness floor: a near-free op; its reading is the per-rep
+    # dispatch/sync cost, subtracted from every later row ----
+    t = timed(lambda p, v: v * jnp.bfloat16(1.0001), dec, x, reps=reps)
+    rows.append(("null (floor)", t, 0.0, 0, 0))
+    print(f"{'null (floor)':28s} {t:8.2f} ms  (subtracted from all rows)")
+
     # ---- full stack ----
     t = timed(lambda p, v: run_blocks(p, v, H, 1e-12, unroll=True),
-              dec, x, reps=reps)
+              dec, x, reps=big_reps)
     # per-block flops (fwd): qkv + proj + fc1 + fc2 + attn matmuls
     f_dense_blk = 2 * BN * D * (3 * D + D + 4 * D + 4 * D)
     f_attn_blk = 2 * 2 * B * H * N * N * d
@@ -87,8 +101,11 @@ def main():
         out = run_blocks(p, v, H, 1e-12, unroll=True)
         return jnp.sum(out.astype(jnp.float32))
 
-    t = timed(lambda p, v: jax.value_and_grad(fwd_loss)(p, v)[0], dec, x,
-              reps=reps)
+    # return the WHOLE (value, grads) pytree: timed() consumes every
+    # leaf, so the backward cannot be dead-code-eliminated (the [0]-only
+    # variant measured fwd+bwd < fwd — the r2 harness trap)
+    t = timed(lambda p, v: jax.value_and_grad(fwd_loss)(p, v), dec, x,
+              reps=big_reps)
     row("decoder fwd+bwd", t, 3 * flops_fwd, 0)
 
     # ---- attention alone (flash + xla), one layer's shape ----
@@ -104,8 +121,9 @@ def main():
                 multi_head_attention(q, qkv, qkv, impl=impl)
                 .astype(jnp.float32))
 
-        t = timed(lambda _, q: jax.grad(attn_loss, argnums=1)(None, q),
-                  None, qkv, reps=reps)
+        t = timed(
+            lambda _, q: jax.value_and_grad(attn_loss, argnums=1)(None, q),
+            None, qkv, reps=reps)
         row(f"attn fwd+bwd [{impl}] x1", t, 3 * f_attn_blk,
             8 * B * N * H * d * bf2)
 
@@ -163,14 +181,14 @@ def main():
             v = block_noattn(jax.tree_util.tree_map(lambda l: l[i], p), v)
         return v
 
-    t = timed(stack_noattn, dec, x, reps=reps)
+    t = timed(stack_noattn, dec, x, reps=big_reps)
     row("decoder fwd NO-ATTN", t, depth * f_dense_blk, 0)
 
     def noattn_loss(p, v):
         return jnp.sum(stack_noattn(p, v).astype(jnp.float32))
 
-    t = timed(lambda p, v: jax.value_and_grad(noattn_loss)(p, v)[0], dec, x,
-              reps=reps)
+    t = timed(lambda p, v: jax.value_and_grad(noattn_loss)(p, v), dec, x,
+              reps=big_reps)
     row("decoder fwd+bwd NO-ATTN", t, 3 * depth * f_dense_blk, 0)
 
     # ---- ledger summary ----
