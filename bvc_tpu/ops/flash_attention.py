@@ -481,14 +481,24 @@ def flash_attention(
     # measured on v5e: keeping the whole K/V in VMEM beats chunked
     # streaming (the fori_loop dynamic slices defeat Mosaic's
     # pipelining); fall back to 1024-chunks when K/V would blow VMEM.
-    # The same holds for the backward's dq kernel (block-sweep at the
-    # [48, 1568, 6, 64] decoder shape: bwd_bk=1568 beats 784 by ~18%
-    # fwd+bwd, PERFORMANCE.md round-4 addendum).
     kv_bytes = 2 * Np * d * qt.dtype.itemsize
     full_kv = Np if kv_bytes <= 4 * 2**20 else 1024
     bk = _pick_block(Np, full_kv if block_k is None else block_k, sub)
     bbq = _pick_block(Np, bwd_block_q, sub)
-    bbk = _pick_block(Np, full_kv if bwd_block_k is None else bwd_block_k, sub)
+    if bwd_block_k is None:
+        # Backward auto block: full-KV also wins in the backward
+        # (block-sweep at the [48, 1568, 6, 64] decoder shape:
+        # bwd_bk=1568 beats 784 by ~18% fwd+bwd standalone, and the
+        # masked JEPA step gained +12% end-to-end) — BUT on the
+        # unmasked path the FULL flagship train-step program with
+        # bwd_bk=1568 reproducibly crashes this environment's remote
+        # compile helper (HTTP 500, 6/6 attempts across bs 48/32/16,
+        # PERFORMANCE.md round-4 addendum) even though the kernel
+        # compiles and runs standalone.  So: full-KV where it is
+        # proven end-to-end (the masked/bias path), the measured-safe
+        # 784 elsewhere; pass bwd_block_k explicitly to override.
+        bwd_block_k = full_kv if key_mask is not None else 784
+    bbk = _pick_block(Np, bwd_block_k, sub)
     if key_mask is not None:
         # the bias kernels dynamically slice the LANE dim of the [1, Np]
         # bias row at key-block offsets — Mosaic requires those to be
