@@ -131,6 +131,13 @@ def main():
             bench_extract.bench("videomae")
         except Exception as e:
             print(f"# extraction bench failed: {e}", flush=True)
+        try:
+            import bench_extract
+
+            # the opt-in W8A8 path (--quantize int8, ops/quant.py)
+            bench_extract.bench("videomae", quantize="int8")
+        except Exception as e:
+            print(f"# int8 extraction bench failed: {e}", flush=True)
     if which in ("families", "all"):
         try:
             import bench_families

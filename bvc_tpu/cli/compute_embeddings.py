@@ -59,6 +59,11 @@ def build_parser():
                    help="e.g. 'data=8', or 'data=2,seq=4' (videomae "
                         "long-clip sequence-parallel embed, SCALING.md); "
                         "empty = all data")
+    p.add_argument("--quantize", type=str, default="none",
+                   help="'int8': W8A8 MXU inference path for the ViT "
+                        "families (ops/quant.py) -- ~2x MXU rate, "
+                        "embedding parity pinned by tests/test_quant.py; "
+                        "default 'none' keeps reference bf16 numerics")
     p.add_argument("--resume", type=str, default="n",
                    help="y: skip (checkpoint, phase) pairs whose "
                         "embeddings CSV already exists -- preemption "
@@ -137,9 +142,11 @@ def main(argv=None):
             if not todo:
                 continue  # checkpoint never loaded — the expensive part
         if ckpt == "na":
-            embed_fn = untrained_embed_fn(args.family, model_cfg, args.seed, mesh=mesh)
+            embed_fn = untrained_embed_fn(args.family, model_cfg, args.seed,
+                                          mesh=mesh, quantize=args.quantize)
         else:
-            embed_fn = make_embed_fn(args.family, ckpt, model_cfg, mesh=mesh)
+            embed_fn = make_embed_fn(args.family, ckpt, model_cfg, mesh=mesh,
+                                     quantize=args.quantize)
         for phase in todo:
             dataset = make_task_dataset(
                 args.ds_task, args.vid_root, args.frame_rate, args.num_frames,

@@ -138,6 +138,38 @@ def _require_videomae_for_seq(family: str, mesh) -> None:
         )
 
 
+def _check_quantize(family: str, mesh, quantize: str) -> bool:
+    """Validate the ``quantize`` option; returns True for the int8 path.
+
+    int8 is an opt-in W8A8 inference path (``ops/quant.py``) for the
+    transformer families on single-device or data meshes: SimCLR's
+    conv trunk and the sequence-parallel ring (which re-slices block
+    params inside its own shard_map core) are rejected explicitly
+    rather than silently falling back to bf16.
+    """
+    if quantize in ("none", "", None):
+        return False
+    if quantize != "int8":
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(expected 'none' or 'int8')")
+    if family == "simclr":
+        raise ValueError("quantize='int8' covers the ViT families "
+                         "(videomae, jepa); the resnet conv trunk is "
+                         "not quantized")
+    if _is_seq_mesh(mesh):
+        raise ValueError("quantize='int8' does not compose with "
+                         "sequence-parallel extraction; use a pure-data "
+                         "mesh")
+    return True
+
+
+def _quantized(params: dict, family: str) -> dict:
+    from bvc_tpu.ops.quant import quantize_encoder_tree
+
+    key = "encoder" if family == "videomae" else "blocks"
+    return quantize_encoder_tree(params, (key,))
+
+
 def _feature_dim(family: str, model_cfg: ModelConfig) -> int:
     """Embedding width of a family's extractor — lets an all-empty sweep
     still report a correctly-shaped ``(0, D)`` result."""
@@ -154,16 +186,20 @@ def _with_dim(fn: Callable, family: str, model_cfg: ModelConfig) -> Callable:
 
 
 def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
-                  mesh=None) -> Callable:
+                  mesh=None, quantize: str = "none") -> Callable:
     """Load the checkpoint and return ``fn(video_batch) → [B, D]``,
     optionally data-parallel over ``mesh`` (see :func:`_jit_embed`);
-    ``fn.feature_dim`` carries the embedding width."""
+    ``fn.feature_dim`` carries the embedding width.  ``quantize='int8'``
+    rides the W8A8 MXU path (see :func:`_check_quantize`)."""
     _require_videomae_for_seq(family, mesh)
+    q = _check_quantize(family, mesh, quantize)
     restored = load_checkpoint(ckpt_path)
     if family == "videomae":
         from bvc_tpu.models import videomae
 
         params = jax.tree_util.tree_map(np.asarray, restored["model_state_dict"])
+        if q:
+            params = _quantized(params, family)
         if _is_seq_mesh(mesh):
             return _with_dim(_seq_jit_embed(params, mesh, model_cfg),
                              family, model_cfg)
@@ -180,6 +216,8 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
         # helper.py:36-38); the EMA target is never used for embeddings
         enc = restored.get("encoder", restored.get("target_encoder"))
         enc = jax.tree_util.tree_map(np.asarray, enc)
+        if q:
+            enc = _quantized(enc, family)
         if _is_seq_mesh(mesh):
             return _with_dim(
                 _seq_jit_embed(enc, mesh, model_cfg, family="jepa"),
@@ -210,14 +248,17 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
 
 
 def untrained_embed_fn(family: str, model_cfg: ModelConfig, seed: int = 0,
-                       mesh=None) -> Callable:
+                       mesh=None, quantize: str = "none") -> Callable:
     """Random-init model — the stage-0 'untrained baseline' path
     (``init_checkpoint_path='na'``, ``slurm_dev_def.bash:80-87``)."""
     _require_videomae_for_seq(family, mesh)
+    q = _check_quantize(family, mesh, quantize)
     if family == "videomae":
         from bvc_tpu.models import videomae
 
         params = videomae.init_params(jax.random.PRNGKey(seed), model_cfg)
+        if q:
+            params = _quantized(params, family)
         if _is_seq_mesh(mesh):
             return _with_dim(_seq_jit_embed(params, mesh, model_cfg),
                              family, model_cfg)
@@ -228,6 +269,8 @@ def untrained_embed_fn(family: str, model_cfg: ModelConfig, seed: int = 0,
         from bvc_tpu.models import jepa as jepa_model
 
         params = jepa_model.init_encoder_params(jax.random.PRNGKey(seed), model_cfg)
+        if q:
+            params = _quantized(params, family)
         if _is_seq_mesh(mesh):
             return _with_dim(
                 _seq_jit_embed(params, mesh, model_cfg, family="jepa"),

@@ -40,6 +40,7 @@ from bvc_tpu.models.initializers import (
 )
 from bvc_tpu.ops.attention import multi_head_attention
 from bvc_tpu.ops.gelu import gelu
+from bvc_tpu.ops.quant import qdense
 
 
 def layer_norm(x: jnp.ndarray, params: dict, eps: float = 1e-6) -> jnp.ndarray:
@@ -98,6 +99,8 @@ def init_blocks(
 
 
 def _dense(x, p, dtype):
+    if "kernel_q" in p:  # W8A8 inference path (ops/quant.py, opt-in)
+        return qdense(x, p, dtype)
     out = jnp.dot(x, p["kernel"].astype(dtype), preferred_element_type=dtype)
     if "bias" in p:
         out = out + p["bias"].astype(dtype)

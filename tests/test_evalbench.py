@@ -640,7 +640,7 @@ class TestExtractionSweepResume:
 
         calls = []
 
-        def fake_untrained(family, cfg, seed=0, mesh=None):
+        def fake_untrained(family, cfg, seed=0, mesh=None, quantize="none"):
             calls.append("build")
             fn = lambda v: np.zeros((len(v), 4), np.float32)
             fn.feature_dim = 4

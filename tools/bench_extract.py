@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _benchlib import BASELINE_CLIPS_PER_SEC_PER_ACCEL, ladder  # noqa: E402
 
 
-def bench(family, batches=(256, 128, 64)):
+def bench(family, batches=(256, 128, 64), quantize="none"):
     import jax
 
     from bvc_tpu.parallel import make_mesh, shard_batch
@@ -46,6 +46,10 @@ def bench(family, batches=(256, 128, 64)):
 
         cfg = ModelConfig()
         params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        if quantize == "int8":  # the --quantize int8 extractor path
+            from bvc_tpu.ops.quant import quantize_encoder_tree
+
+            params = quantize_encoder_tree(params, ("encoder",))
         core = lambda prm, v: videomae.embed(prm, v, cfg)
         frames_per_clip = cfg.num_frames
     elif family == "jepa":
@@ -96,8 +100,9 @@ def bench(family, batches=(256, 128, 64)):
     sync(out.astype(np.float32).sum())
     dt = time.perf_counter() - t0
     clips = B * iters / dt / n_dev
+    tag = "_int8" if quantize == "int8" else ""
     print(json.dumps({
-        "metric": f"{family}_embed_extraction_throughput",
+        "metric": f"{family}_embed_extraction{tag}_throughput",
         "value": round(clips * frames_per_clip, 1),
         "unit": "frames/sec/chip",
         "clips_per_sec_per_chip": round(clips, 1),
@@ -114,6 +119,8 @@ def main():
     for fam in ("videomae", "jepa", "simclr"):
         if which in (fam, "all"):
             bench(fam)
+    if which in ("int8", "all"):
+        bench("videomae", quantize="int8")
 
 
 if __name__ == "__main__":

@@ -41,6 +41,7 @@ def main():
 
     from bvc_tpu.models import videomae
     from bvc_tpu.models.vit import _dense, layer_norm, run_blocks
+    from bvc_tpu.ops.gelu import gelu
     from bvc_tpu.ops.attention import multi_head_attention
     from bvc_tpu.utils.config import ModelConfig
 
@@ -147,8 +148,7 @@ def main():
         (BN * D + BN * 4 * D) * bf2)
 
     t = timed(
-        lambda p, v: jax.nn.gelu(
-            _dense(v, p["mlp"]["fc1"], jnp.bfloat16), approximate=False),
+        lambda p, v: gelu(_dense(v, p["mlp"]["fc1"], jnp.bfloat16)),
         l0, x, reps=reps)
     row("fc1+gelu x1", t, 2 * BN * D * 4 * D,
         (BN * D + BN * 4 * D) * bf2)
@@ -160,9 +160,14 @@ def main():
     row("fc2 dense (1536->384) x1", t, 2 * BN * 4 * D * D,
         (BN * 4 * D + BN * D) * bf2)
 
+    t = timed(lambda p, v: gelu(v), l0, wide, reps=reps)
+    row("gelu alone (B,N,1536) x1", t, 0, 2 * BN * 4 * D * bf2)
+
+    # exact-erf comparison row (the pre-round-4 default, kept to show
+    # what the polynomial buys at this shape)
     t = timed(lambda p, v: jax.nn.gelu(v, approximate=False), l0, wide,
               reps=reps)
-    row("gelu alone (B,N,1536) x1", t, 0, 2 * BN * 4 * D * bf2)
+    row("gelu EXACT-ERF x1", t, 0, 2 * BN * 4 * D * bf2)
 
     # ---- no-attention block stack (difference isolates attention) ----
     def block_noattn(p, v):
@@ -173,7 +178,7 @@ def main():
         v = v + _dense(attn_out, p["attn"]["proj"], jnp.bfloat16)
         h = layer_norm(v, p["ln2"], 1e-12)
         h = _dense(h, p["mlp"]["fc1"], jnp.bfloat16)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h)
         return v + _dense(h, p["mlp"]["fc2"], jnp.bfloat16)
 
     def stack_noattn(p, v):
