@@ -175,6 +175,31 @@ class TestExtractorWiring:
         with pytest.raises(ValueError, match="sequence-parallel"):
             _check_quantize("videomae", FakeSeqMesh(), "int8")
 
+    def test_mesh_dp_int8_matches_single_device(self):
+        # the int8 param tree (int8 kernels + f32 scales) must replicate
+        # over a data mesh exactly like the bf16 tree — the reference's
+        # 4-GPU DDP extraction analogue with the quantized weights
+        from bvc_tpu.evalbench.extract import untrained_embed_fn
+        from bvc_tpu.parallel import make_mesh
+
+        cfg = ModelConfig(
+            family="jepa", image_size=16, patch_size=8, num_frames=2,
+            tubelet_size=1, hidden_size=32, depth=2, num_heads=4,
+            dtype="float32",
+        )
+        mesh = make_mesh()  # 8-device CPU mesh from conftest
+        assert mesh.devices.size == 8
+        video = np.random.default_rng(3).integers(
+            0, 255, (8, 2, 16, 16, 3), np.uint8)
+        single = untrained_embed_fn("jepa", cfg, seed=0, quantize="int8")(video)
+        meshed = untrained_embed_fn("jepa", cfg, seed=0, mesh=mesh,
+                                    quantize="int8")(video)
+        # not bit-equal: the rank-1 dequant multiply fuses differently
+        # under GSPMD (measured ~1.2e-5 on values ~1); 1e-4 pins "same
+        # computation", not "same schedule"
+        np.testing.assert_allclose(np.asarray(meshed), np.asarray(single),
+                                   rtol=0, atol=1e-4)
+
     def test_cli_flag_parses(self):
         from bvc_tpu.cli.compute_embeddings import build_parser
 
