@@ -57,9 +57,15 @@ def bench(family, batches=(256, 128, 64), quantize="none"):
 
         cfg = ModelConfig(family="jepa", num_frames=2, tubelet_size=1)
         params = jepa.init_encoder_params(jax.random.PRNGKey(0), cfg)
+        if quantize == "int8":
+            from bvc_tpu.ops.quant import quantize_encoder_tree
+
+            params = quantize_encoder_tree(params, ("blocks",))
         core = lambda prm, v: jepa.embed(prm, v, cfg)
         frames_per_clip = cfg.num_frames
     else:
+        if quantize == "int8":
+            raise ValueError("int8 covers the ViT families only")
         import jax.numpy as jnp
 
         from bvc_tpu.models import resnet
