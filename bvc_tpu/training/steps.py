@@ -629,6 +629,10 @@ def _jit_over_mesh(step, eval_step, mesh: Mesh, param_mode: str):
     train.eval_step = evaluate  # type: ignore[attr-defined]
     train.shardings = lambda: cache.get("st_sh")  # type: ignore[attr-defined]
     train.compiled_text = compiled_text  # type: ignore[attr-defined]
+    # the un-jitted step fn — lets tooling re-jit with explicit XLA
+    # compiler_options (tools/probe_xla_options.py sweeps them per-arm
+    # in ONE process; XLA_FLAGS can't vary within a process)
+    train.raw_step = step  # type: ignore[attr-defined]
     return train
 
 
