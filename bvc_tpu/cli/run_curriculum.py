@@ -48,6 +48,10 @@ def build_parser():
                    help="y: stage-0 extraction from random init")
     p.add_argument("--frame_rate", type=int, default=12)
     p.add_argument("--extract_batch_size", type=int, default=64)
+    p.add_argument("--extract_quantize", type=str, default="none",
+                   help="'int8': run the post-stage extraction sweep on "
+                        "the W8A8 inference path (ViT families; "
+                        "compute_embeddings --quantize analogue)")
     p.add_argument("--save_every_epoch", type=str, default="n",
                    help="y: per-epoch checkpoints inside each stage")
     p.add_argument("--resume", type=str, default="n",
@@ -82,7 +86,8 @@ def _parse_extract(args) -> list[dict] | None:
         {"ds_task": part.split("=", 1)[0].strip(),
          "vid_root": part.split("=", 1)[1].strip(),
          "frame_rate": args.frame_rate,
-         "batch_size": args.extract_batch_size}
+         "batch_size": args.extract_batch_size,
+         "quantize": getattr(args, "extract_quantize", "none")}
         for part in args.extract.split(",")
     ]
 
@@ -107,6 +112,7 @@ def main(argv=None):
             control_data_root=args.control_data_root,
             frame_rate=args.frame_rate,
             extract_batch_size=args.extract_batch_size,
+            extract_quantize=args.extract_quantize,
             preset_name=args.preset,
             sbatch=args.sbatch == "y",
             job_name=args.job_name or None,

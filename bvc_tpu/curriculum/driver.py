@@ -145,6 +145,7 @@ def emit_script(
     control_data_root: str = "",
     frame_rate: int = 12,
     extract_batch_size: int = 64,
+    extract_quantize: str = "none",
     preset_name: str | None = None,
     sbatch: bool = False,
     job_name: str | None = None,
@@ -290,6 +291,8 @@ def emit_script(
             f"--architecture {m_ex.architecture} "
             f"--frame_rate {frame_rate} --batch_size {extract_batch_size} "
             f"--seed {seed}"
+            + (f" --quantize {extract_quantize}"
+               if extract_quantize != "none" else "")
         )
     return "\n".join(lines) + "\n"
 
@@ -333,12 +336,15 @@ def _run_extraction(
     savedir = task.get(
         "savedir", str(Path(base.savedir) / "benchmarks" / task["ds_task"])
     )
+    quantize = task.get("quantize", "none")  # opt-in W8A8 (ops/quant.py)
     outs = []
     for ckpt, run_id in zip(checkpoints, run_ids):
         if ckpt == "na":
-            fn = untrained_embed_fn(family, model_cfg, base.seed, mesh=mesh)
+            fn = untrained_embed_fn(family, model_cfg, base.seed, mesh=mesh,
+                                    quantize=quantize)
         else:
-            fn = make_embed_fn(family, ckpt, model_cfg, mesh=mesh)
+            fn = make_embed_fn(family, ckpt, model_cfg, mesh=mesh,
+                               quantize=quantize)
         for phase in ("train", "test"):
             ds = make_task_dataset(
                 task["ds_task"], task["vid_root"],

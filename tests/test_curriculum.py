@@ -207,6 +207,45 @@ class TestCurriculumExtraction:
         assert (emb_dir / "test" / "embeddings_dev_1_g0_default_1_0.csv").exists()
         assert len(results["extraction"]) == 4
 
+    def test_extraction_task_quantize_reaches_embed_builders(
+            self, tmp_path, ssv2_like, monkeypatch):
+        """A task spec's 'quantize' key must reach the embed-fn builders
+        (the --extract_quantize int8 CLI path)."""
+        from bvc_tpu.curriculum.driver import _run_extraction
+        from bvc_tpu.evalbench import extract as ex
+        from bvc_tpu.utils.config import ModelConfig
+        from bvc_tpu.utils.logging import get_logger
+
+        seen = {}
+
+        def fake_untrained(family, cfg, seed=0, mesh=None, quantize="none"):
+            seen["quantize"] = quantize
+            fn = lambda v: np.zeros((len(v), 4), np.float32)
+            fn.feature_dim = 4
+            return fn
+
+        monkeypatch.setattr(ex, "untrained_embed_fn", fake_untrained)
+        base = TrainConfig(savedir=str(tmp_path), seed=0)
+        cfg = ModelConfig(image_size=32, patch_size=8, num_frames=4,
+                          tubelet_size=2, dtype="float32")
+        outs = _run_extraction(
+            {"ds_task": "ssv2", "vid_root": ssv2_like, "frame_rate": 12,
+             "batch_size": 2, "quantize": "int8"},
+            ["na"], ["untrained_0_na_na_0_0"], cfg, "videomae", base,
+            None, get_logger("t"),
+        )
+        assert seen["quantize"] == "int8"
+        assert len(outs) == 2  # train + test CSVs
+
+    def test_emit_script_carries_extract_quantize(self):
+        from bvc_tpu.curriculum.driver import emit_script
+
+        text = emit_script("dev", "generative", 0, extract={"ssv2": "$V"},
+                           extract_quantize="int8")
+        assert "--quantize int8" in text
+        default = emit_script("dev", "generative", 0, extract={"ssv2": "$V"})
+        assert "--quantize" not in default
+
     def test_extraction_rides_the_seq_mesh(self, frame_corpus, tmp_path,
                                            ssv2_like):
         """--mesh data=N,seq=M reaches the WHOLE chain: the trainer's
