@@ -185,6 +185,33 @@ def _with_dim(fn: Callable, family: str, model_cfg: ModelConfig) -> Callable:
     return fn
 
 
+def load_family_params(family: str, ckpt_path: str) -> Any:
+    """Checkpoint → the param tree the family's embed fn consumes.
+
+    One source of truth for the per-family checkpoint-key quirks, shared
+    by :func:`make_embed_fn` and the serving exporter
+    (:mod:`bvc_tpu.serving`): videomae embeds from ``model_state_dict``;
+    JEPA from the ONLINE encoder — the reference's ``get_model`` calls
+    ``load_checkpoint(encoder=..., target_encoder=None)``, loading
+    ``checkpoint['encoder']`` (``compute_embeddings_jepa.py:87-89``,
+    ``helper.py:36-38``), the EMA target is never used for embeddings;
+    SimCLR needs conv params AND batch stats.
+    """
+    restored = load_checkpoint(ckpt_path)
+    if family == "videomae":
+        return jax.tree_util.tree_map(np.asarray, restored["model_state_dict"])
+    if family == "jepa":
+        enc = restored.get("encoder", restored.get("target_encoder"))
+        return jax.tree_util.tree_map(np.asarray, enc)
+    if family == "simclr":
+        return jax.tree_util.tree_map(
+            np.asarray,
+            {"params": restored["model_state_dict"],
+             "stats": restored["batch_stats"]},
+        )
+    raise ValueError(f"unknown family {family!r}")
+
+
 def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
                   mesh=None, quantize: str = "none") -> Callable:
     """Load the checkpoint and return ``fn(video_batch) → [B, D]``,
@@ -193,11 +220,10 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
     rides the W8A8 MXU path (see :func:`_check_quantize`)."""
     _require_videomae_for_seq(family, mesh)
     q = _check_quantize(family, mesh, quantize)
-    restored = load_checkpoint(ckpt_path)
     if family == "videomae":
         from bvc_tpu.models import videomae
 
-        params = jax.tree_util.tree_map(np.asarray, restored["model_state_dict"])
+        params = load_family_params(family, ckpt_path)
         if q:
             params = _quantized(params, family)
         if _is_seq_mesh(mesh):
@@ -210,12 +236,7 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
     if family == "jepa":
         from bvc_tpu.models import jepa as jepa_model
 
-        # the reference extracts from the ONLINE encoder: its get_model
-        # calls load_checkpoint(encoder=..., target_encoder=None), which
-        # loads checkpoint['encoder'] (compute_embeddings_jepa.py:87-89,
-        # helper.py:36-38); the EMA target is never used for embeddings
-        enc = restored.get("encoder", restored.get("target_encoder"))
-        enc = jax.tree_util.tree_map(np.asarray, enc)
+        enc = load_family_params(family, ckpt_path)
         if q:
             enc = _quantized(enc, family)
         if _is_seq_mesh(mesh):
@@ -239,10 +260,7 @@ def make_embed_fn(family: str, ckpt_path: str, model_cfg: ModelConfig,
             )
             return feats
 
-        tree = jax.tree_util.tree_map(
-            np.asarray,
-            {"params": restored["model_state_dict"], "stats": restored["batch_stats"]},
-        )
+        tree = load_family_params(family, ckpt_path)
         return _with_dim(_jit_embed(_embed, tree, mesh), family, model_cfg)
     raise ValueError(f"unknown family {family!r}")
 
