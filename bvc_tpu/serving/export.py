@@ -173,6 +173,7 @@ def load_artifact(path: str) -> Callable:
     dequant) replays from the serialized module.  ``fn.feature_dim`` and
     ``fn.meta`` carry the sidecar.
     """
+    import jax
     from jax import export as jexport
 
     p = Path(path)
@@ -180,9 +181,16 @@ def load_artifact(path: str) -> Callable:
     with np.load(p / _PARAMS) as z:
         leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
     meta = json.loads((p / _META).read_text())
+    # serving hygiene: params committed to the device ONCE (numpy leaves
+    # would re-upload every call — 221 MB/call for ViT-B over a remote
+    # link), and the exported call jitted so repeat calls are compiled
+    # dispatches, not re-traces (measured at live-extractor rate on the
+    # chip, PERFORMANCE.md)
+    placed = jax.device_put(leaves)
+    jfn = jax.jit(exported.call)
 
     def fn(video) -> np.ndarray:
-        return np.asarray(exported.call(leaves, np.asarray(video, np.uint8)))
+        return np.asarray(jfn(placed, np.asarray(video, np.uint8)))
 
     fn.feature_dim = meta["feature_dim"]  # type: ignore[attr-defined]
     fn.meta = meta  # type: ignore[attr-defined]
