@@ -39,9 +39,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     # TPU-native extensions (absent in the reference)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--mesh", type=str, default="",
-                   help="e.g. 'data=8', 'data=4,model=2' (TP), or "
+                   help="e.g. 'data=8', 'data=4,model=2' (TP), "
                         "'data=2,seq=4' (videomae long-clip sequence "
-                        "parallelism, SCALING.md); empty = all data")
+                        "parallelism), or 'data=2,pipe=4' (videomae GPipe "
+                        "pipeline stages, SCALING.md); empty = all data")
     p.add_argument("--param_sharding", type=str, default="replicated",
                    choices=["replicated", "zero1", "fsdp", "tp"],
                    help="zero1: replicated params + data-sharded optimizer "
@@ -73,6 +74,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help=">1: sequential microbatches per optimizer step "
                         "(same effective batch, ~k× less activation "
                         "memory; videomae/jepa only)")
+    p.add_argument("--pipe_microbatches", type=int, default=4,
+                   help="GPipe microbatches per step on a 'pipe' mesh "
+                        "(videomae; SCALING.md 'Pipeline parallelism')")
     return p
 
 
@@ -103,6 +107,7 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     cfg.resume = getattr(args, "resume", "n") == "y"
     cfg.log_grad_stats = getattr(args, "log_grad_stats", "n") == "y"
     cfg.profile_dir = getattr(args, "profile_dir", "")
+    cfg.pipe_microbatches = getattr(args, "pipe_microbatches", 4)
 
     d = cfg.data
     d.jpg_root = args.jpg_root

@@ -150,6 +150,31 @@ def _tree_shardings(state: TrainState, mesh: Mesh, param_mode: str):
         param_shardings(state.params, mesh, opt_rule_mode)
         if opt_rule_mode != param_mode else p_sh
     )
+    t_sh = (
+        param_shardings(state.target_params, mesh, param_mode)
+        if state.target_params is not None
+        else None
+    )
+    return tree_shardings_from_param_shardings(
+        state, mesh, p_sh, opt_rule_sh=opt_rule_sh, target_sh=t_sh
+    )
+
+
+def tree_shardings_from_param_shardings(
+    state: TrainState, mesh: Mesh, p_sh: Any,
+    opt_rule_sh: Any = None, target_sh: Any = None,
+) -> TrainState:
+    """TrainState shardings from an explicit params-sharding pytree.
+
+    Factored out of :func:`_tree_shardings` so custom layouts (e.g. the
+    pipeline-parallel ``P('pipe')``-on-depth layout,
+    :mod:`bvc_tpu.parallel.pipeline`) reuse the tree-path-suffix mapping
+    of optimizer-state leaves onto their params' shardings.
+    ``opt_rule_sh`` overrides the rule applied to optimizer state (the
+    zero1 trick); default = follow ``p_sh``."""
+    rep = NamedSharding(mesh, P())
+    if opt_rule_sh is None:
+        opt_rule_sh = p_sh
     flat_p = jax.tree_util.tree_flatten_with_path(state.params)[0]
     flat_sh = jax.tree_util.tree_flatten_with_path(opt_rule_sh)[0]
     by_path = {
@@ -167,11 +192,7 @@ def _tree_shardings(state: TrainState, mesh: Mesh, param_mode: str):
         return rep
 
     o_sh = jax.tree_util.tree_map_with_path(opt_sh, state.opt_state)
-    t_sh = (
-        param_shardings(state.target_params, mesh, param_mode)
-        if state.target_params is not None
-        else None
-    )
+    t_sh = target_sh if state.target_params is not None else None
     e_sh = (
         jax.tree_util.tree_map(lambda _: rep, state.extra)
         if state.extra is not None
@@ -636,8 +657,13 @@ def _jit_over_mesh(step, eval_step, mesh: Mesh, param_mode: str):
     return train
 
 
-def place_state(state: TrainState, mesh: Mesh, param_mode: str = "replicated") -> TrainState:
+def place_state(state: TrainState, mesh: Mesh, param_mode: str = "replicated",
+                shardings: TrainState | None = None) -> TrainState:
     """Device-put a host-built TrainState with the step's shardings.
+
+    ``shardings`` overrides the ``param_mode`` rule with an explicit
+    TrainState-of-shardings (e.g. the pipeline layout's
+    :func:`bvc_tpu.parallel.pipeline.pipe_state_shardings`).
 
     Always materialises fresh buffers: the train step donates its input
     state, and ``device_put`` aliases arrays whose sharding already
@@ -649,7 +675,8 @@ def place_state(state: TrainState, mesh: Mesh, param_mode: str = "replicated") -
     leaf is built from the host copy via ``make_array_from_callback`` —
     every process materialises only its addressable shards.
     """
-    shardings = _tree_shardings(state, mesh, param_mode)
+    if shardings is None:
+        shardings = _tree_shardings(state, mesh, param_mode)
     if jax.process_count() > 1:
         import numpy as _np
 

@@ -120,6 +120,7 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 "val_loss": meta.get("val_loss", 0.0),
             }
     seq_parallel = "seq" in mesh.axis_names
+    pipe_parallel = "pipe" in mesh.axis_names
     probes = {}
     if cfg.log_grad_stats:
         from bvc_tpu.training.probes import full_grad_probes
@@ -143,6 +144,33 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
             grad_accum=cfg.optim.grad_accum_steps,
         )
         state = place_state(state, mesh, cfg.param_sharding)
+    elif pipe_parallel:
+        # deep-stack mode: GPipe microbatching over 'pipe', block stacks
+        # sharded on depth (bvc_tpu/parallel/pipeline.py; SCALING.md
+        # "Pipeline parallelism").  The layout defines its own stage
+        # sharding, so the param_sharding knob must stay at its default.
+        from bvc_tpu.parallel.pipeline import (
+            make_pipe_videomae_train_step, pipe_state_shardings,
+        )
+
+        if cfg.param_sharding != "replicated":
+            raise ValueError(
+                "a 'pipe' mesh defines its own stage sharding (block "
+                "stacks P('pipe') on depth); --param_sharding must stay "
+                f"'replicated' (got {cfg.param_sharding!r})"
+            )
+        if cfg.optim.grad_accum_steps != 1:
+            raise ValueError(
+                "grad_accum_steps is redundant on a 'pipe' mesh — set "
+                "--pipe_microbatches instead (the GPipe schedule already "
+                "streams microbatches through the stages)"
+            )
+        step = make_pipe_videomae_train_step(
+            mesh, cfg.model, cfg.mask, tx,
+            num_microbatches=cfg.pipe_microbatches, grad_probes=probes,
+        )
+        state = place_state(state, mesh,
+                            shardings=pipe_state_shardings(state, mesh))
     else:
         state = place_state(state, mesh, cfg.param_sharding)
         step = make_videomae_train_step(
@@ -161,6 +189,10 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
 
         global_batch = cfg.data.batch_size * mesh.shape["data"]
         batch_spec = PartitionSpec("data", "seq")
+    elif pipe_parallel:
+        # each pipe group carries whole batch rows (video replicated over
+        # 'pipe'), so the batch scales with the data axis only
+        global_batch = cfg.data.batch_size * mesh.shape["data"]
     else:
         global_batch = cfg.data.batch_size * mesh.devices.size
     loaders = {

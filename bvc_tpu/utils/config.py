@@ -293,6 +293,9 @@ class TrainConfig:
     # parallelism
     mesh_shape: dict[str, int] = field(default_factory=dict)  # {} → all 'data'
     param_sharding: str = "replicated"  # 'replicated' | 'fsdp' | 'tp'
+    # GPipe microbatches per step when the mesh has a 'pipe' axis
+    # (parallel/pipeline.py; bubble = (P−1)/(M+P−1) per pipelined stack)
+    pipe_microbatches: int = 4
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     mask: MaskConfig = field(default_factory=MaskConfig)

@@ -268,3 +268,51 @@ class TestSeqParallel:
         # nothing else: no gathers/scatters in this layout
         assert report.bytes_for("all-gather", min_payload=_BIG) == 0
         assert report.bytes_for("reduce-scatter", min_payload=_BIG) == 0
+
+
+class TestPipelineParallel:
+    def test_pipe_step_is_stage_hops_plus_grad_reductions(self):
+        """The GPipe step's communication: neighbor ppermutes for the two
+        pipelined stacks (+ the encoder→decoder relay hop), one gradient
+        pmean over 'data', and the psum over 'pipe' recovering the
+        replicated edge-param grads — no parameter all-gathers anywhere
+        (SCALING.md 'Pipeline parallelism')."""
+        import dataclasses
+
+        from bvc_tpu.parallel.pipeline import (
+            make_pipe_mesh, make_pipe_videomae_train_step, pipe_state_shardings,
+        )
+        from bvc_tpu.parallel.sharding import shard_batch
+
+        cfg = dataclasses.replace(_CFG, depth=4, decoder_depth=2)
+        mesh = make_pipe_mesh(4, 2)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+        state = jax.device_put(state, pipe_state_shardings(state, mesh))
+        step = make_pipe_videomae_train_step(
+            mesh, cfg, MaskConfig(sampler="tube", mask_ratio=0.75), tx,
+            num_microbatches=2,
+        )
+        video = np.random.default_rng(0).standard_normal(
+            (8, 4, 32, 32, 3)).astype(np.float32)
+        text = step.compiled_text(state, shard_batch(video, mesh))
+        report = comm_report(text)
+        # stage hops present (fwd scans + transposed bwd); neighbor traffic
+        pp = [op for op in report.ops if op.kind == "collective-permute"]
+        assert pp, "GPipe schedule must emit collective-permutes"
+        for op in pp:
+            assert op.ring_bytes_per_chip == float(op.payload_bytes)
+        # grad reductions: at least the per-stage block grads pmean over
+        # 'data'; at most a small multiple of the full grad volume (the
+        # replicated-leaf psum over 'pipe' adds a second pass there)
+        import jax as _jax
+
+        blocks = {"encoder": params["encoder"], "decoder": params["decoder"]}
+        stage_bytes = tree_bytes(blocks) // 2  # per chip at pipe=2
+        ar = report.bytes_for("all-reduce", min_payload=_BIG)
+        assert ar >= stage_bytes
+        assert ar <= 3 * tree_bytes(params)
+        # no parameter all-gathers / reduce-scatters in this layout
+        assert report.bytes_for("all-gather", min_payload=_BIG) == 0
+        assert report.bytes_for("reduce-scatter", min_payload=_BIG) == 0

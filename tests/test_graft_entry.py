@@ -50,7 +50,8 @@ class TestDryrunMultichip:
         assert "mode=fsdp" in out
         assert "mode=zero1" in out
         # all passes reported finite losses
-        assert out.count("dryrun_multichip ok") == 7
+        assert out.count("dryrun_multichip ok") == 8
+        assert "mode=pipeline" in out
         assert "family=jepa" in out
         assert "mode=seq-parallel" in out
         assert "family=simclr negatives=per_replica" in out
