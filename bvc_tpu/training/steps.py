@@ -173,6 +173,12 @@ def tree_shardings_from_param_shardings(
     ``opt_rule_sh`` overrides the rule applied to optimizer state (the
     zero1 trick); default = follow ``p_sh``."""
     rep = NamedSharding(mesh, P())
+    if state.target_params is not None and target_sh is None:
+        raise ValueError(
+            "state has target_params but target_sh was not given -- "
+            "pass a sharding pytree for them (a None here surfaces "
+            "later as a cryptic device_put tree-structure mismatch)"
+        )
     if opt_rule_sh is None:
         opt_rule_sh = p_sh
     flat_p = jax.tree_util.tree_flatten_with_path(state.params)[0]

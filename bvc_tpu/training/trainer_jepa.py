@@ -83,12 +83,14 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
     folder = Path(cfg.savedir)
     folder.mkdir(parents=True, exist_ok=True)
     mesh = mesh or make_mesh(cfg.mesh_shape)
-    if "seq" in mesh.axis_names:
-        raise ValueError(
-            "sequence parallelism is videomae-only (this family's clips "
-            "fit one chip; a 'seq' axis would replicate the whole step "
-            "across it) -- use a pure-data mesh"
-        )
+    for axis in ("seq", "pipe"):
+        if axis in mesh.axis_names:
+            raise ValueError(
+                f"'{axis}' parallelism is videomae-only (this family's "
+                "clips fit one chip; the axis would replicate the whole "
+                "step across it and inflate global_batch with no "
+                "speedup) -- use a pure-data mesh"
+            )
     cfg.dump_yaml(folder / f"params_{cfg.run_id}.yaml")
 
     csv_logger = None

@@ -441,15 +441,17 @@ class TestProcessLocalSeqGuard:
 
 
 class TestNonVideomaeTrainersRejectSeqMesh:
-    """JEPA/SimCLR clips fit one chip; a 'seq' axis would replicate their
-    whole step across it — the trainers refuse it up front."""
+    """JEPA/SimCLR clips fit one chip; a 'seq' (or 'pipe') axis would
+    replicate their whole step across it and inflate global_batch — the
+    trainers refuse both up front (ADVICE r4)."""
 
     @pytest.mark.parametrize("family", ["jepa", "simclr"])
-    def test_raises(self, family):
+    @pytest.mark.parametrize("axis", ["seq", "pipe"])
+    def test_raises(self, family, axis):
         from bvc_tpu.utils.config import TrainConfig
 
         cfg = TrainConfig(run_id="dev_1_g0_default_0_5", savedir="/tmp/x")
-        cfg.mesh_shape = {"data": 2, "seq": 4}
+        cfg.mesh_shape = {"data": 2, axis: 4}
         if family == "jepa":
             from bvc_tpu.training.trainer_jepa import run_pretraining
         else:

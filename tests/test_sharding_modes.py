@@ -208,3 +208,28 @@ class TestParamShardingModes:
             jax.tree_util.tree_leaves(sh.opt_state),
         ):
             assert got.sharding.spec == want.spec
+
+    def test_custom_layout_requires_target_sh_when_targets_exist(self):
+        """ADVICE r4: a state carrying target_params (JEPA) with no
+        target_sh must fail loudly at sharding-construction time, not as
+        a device_put tree mismatch later."""
+        import dataclasses
+
+        from jax.sharding import NamedSharding
+
+        from bvc_tpu.training.steps import tree_shardings_from_param_shardings
+
+        mesh = make_mesh()
+        params = {"w": jnp.ones((4, 4))}
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.05))
+        state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+        state = dataclasses.replace(
+            state, target_params=jax.tree_util.tree_map(jnp.copy, params))
+        p_sh = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), params)
+        with pytest.raises(ValueError, match="target_sh"):
+            tree_shardings_from_param_shardings(state, mesh, p_sh)
+        # with target_sh given it succeeds
+        sh = tree_shardings_from_param_shardings(
+            state, mesh, p_sh, target_sh=p_sh)
+        assert sh.target_params["w"].spec == P()
