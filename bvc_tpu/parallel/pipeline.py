@@ -174,6 +174,7 @@ def make_pipe_videomae_train_step(
     tx: optax.GradientTransformation,
     num_microbatches: int = 4,
     grad_probes: dict[str, Callable[[Any], jnp.ndarray]] | None = None,
+    grad_accum: int = 1,
 ) -> Callable:
     """Pipeline-parallel twin of
     :func:`bvc_tpu.training.steps.make_videomae_train_step`: same
@@ -184,6 +185,19 @@ def make_pipe_videomae_train_step(
 
     Tube masks only — the same static-per-shard-shape argument as the
     sequence-parallel step (:mod:`bvc_tpu.parallel.seqpar`).
+
+    ``grad_accum > 1`` composes gradient accumulation WITH the GPipe
+    schedule: the per-data-shard batch splits into ``grad_accum``
+    sequential chunks, each chunk runs its own full pipeline pass
+    (``num_microbatches`` microbatches through all stages), and the one
+    optimizer step applies the chunk-mean gradient.  The two knobs are
+    orthogonal, as in any production pipeline system: microbatching
+    bounds ACTIVATION memory inside one pipeline pass (and sets the
+    bubble fraction (P−1)/(M+P−1)), accumulation bounds the
+    OPTIMIZER-visible batch beyond what one pass can hold.  Exact for
+    the usual reason — equal per-sample masked counts make the mean of
+    chunk means the batch mean (equivalence-tested vs the GSPMD DP step
+    in tests/test_pipeline.py).
     """
     _check_mesh(mesh)
     if mask_cfg.sampler != "tube":
@@ -299,15 +313,54 @@ def make_pipe_videomae_train_step(
 
     def local_loss_grads(params, mask_rng, video_local):
         video = normalize_on_device(video_local)
+        b_local = video.shape[0]
         mask = _local_tube_masks(
-            mask_rng, video.shape[0], t_sheets, n_space, n_masked_space
+            mask_rng, b_local, t_sheets, n_space, n_masked_space
         )
         visible_idx, masked_idx = mask_partition(mask, num_visible)
         targets = patch_targets(video, model_cfg, masked_idx)
 
-        loss_local, grads_local = jax.value_and_grad(
-            lambda p: local_loss(p, video, visible_idx, masked_idx, targets)
-        )(params)
+        if grad_accum > 1:
+            # sequential accumulation OVER full pipeline passes: chunk c
+            # = contiguous local rows [c*bc, (c+1)*bc) (chunking order is
+            # irrelevant to the mean; masks/targets were sampled for the
+            # full local batch above, so every row sees the same mask it
+            # would without accumulation)
+            if b_local % grad_accum:
+                raise ValueError(
+                    f"grad_accum_steps ({grad_accum}) must divide the "
+                    f"per-data-shard batch ({b_local})"
+                )
+            bc = b_local // grad_accum
+
+            def chunks(x):
+                return x.reshape(grad_accum, bc, *x.shape[1:])
+
+            xs_all = tuple(map(chunks, (video, visible_idx, masked_idx,
+                                        targets)))
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+            def chunk_pass(carry, xs):
+                g_acc, l_acc = carry
+                v, vi, mi, tg = xs
+                loss, g = jax.value_and_grad(
+                    lambda p: local_loss(p, v, vi, mi, tg)
+                )(params)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + loss), None
+
+            (g_sum, l_sum), _ = jax.lax.scan(
+                chunk_pass, (zero_g, 0.0), xs_all
+            )
+            loss_local = l_sum / grad_accum
+            grads_local = jax.tree_util.tree_map(
+                lambda x: x / grad_accum, g_sum
+            )
+        else:
+            loss_local, grads_local = jax.value_and_grad(
+                lambda p: local_loss(p, video, visible_idx, masked_idx,
+                                     targets)
+            )(params)
         loss = jax.lax.pmean(jax.lax.psum(loss_local, PIPE_AXIS), DATA_AXIS)
         return loss, _reduce_grads(grads_local)
 

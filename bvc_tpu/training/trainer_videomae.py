@@ -159,15 +159,14 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
                 "stacks P('pipe') on depth); --param_sharding must stay "
                 f"'replicated' (got {cfg.param_sharding!r})"
             )
-        if cfg.optim.grad_accum_steps != 1:
-            raise ValueError(
-                "grad_accum_steps is redundant on a 'pipe' mesh — set "
-                "--pipe_microbatches instead (the GPipe schedule already "
-                "streams microbatches through the stages)"
-            )
+        # grad_accum composes WITH the GPipe schedule: microbatching
+        # bounds activation memory inside one pipeline pass, accumulation
+        # bounds the optimizer-visible batch beyond what one pass holds
+        # (equivalence-tested in tests/test_pipeline.py)
         step = make_pipe_videomae_train_step(
             mesh, cfg.model, cfg.mask, tx,
             num_microbatches=cfg.pipe_microbatches, grad_probes=probes,
+            grad_accum=cfg.optim.grad_accum_steps,
         )
         state = place_state(state, mesh,
                             shardings=pipe_state_shardings(state, mesh))

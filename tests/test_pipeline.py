@@ -85,6 +85,57 @@ class TestPipelineStep:
                 np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-5
             )
 
+    @pytest.mark.parametrize("data,pipe,microbatches,accum",
+                             [(2, 4, 2, 2), (1, 4, 1, 4), (2, 2, 2, 2)])
+    def test_grad_accum_composes_with_pipeline(self, rng, data, pipe,
+                                               microbatches, accum):
+        """``grad_accum > 1`` chunks the per-shard batch into sequential
+        full pipeline passes; the optimizer step must equal the GSPMD DP
+        step on the whole batch (masks are sampled for the full local
+        batch before chunking, so the computation is identical)."""
+        cfg = _tiny_cfg()
+        mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.5)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = _video(rng)
+
+        mesh_dp = make_mesh()
+        state_a = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(7)), mesh_dp
+        )
+        step_a = make_videomae_train_step(mesh_dp, cfg, mask_cfg, tx)
+        state_a, metrics_a = step_a(state_a, shard_batch(video, mesh_dp))
+
+        mesh_pp = make_pipe_mesh(data, pipe)
+        state_b = _pipe_state(params, tx, mesh_pp)
+        step_b = make_pipe_videomae_train_step(
+            mesh_pp, cfg, mask_cfg, tx, num_microbatches=microbatches,
+            grad_accum=accum,
+        )
+        state_b, metrics_b = step_b(state_b, shard_batch(video, mesh_pp))
+
+        assert float(metrics_b["loss"]) == pytest.approx(
+            float(metrics_a["loss"]), abs=2e-5
+        )
+        for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                          jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-5
+            )
+
+    def test_grad_accum_rejects_indivisible_batch(self, rng):
+        cfg = _tiny_cfg()
+        mesh = make_pipe_mesh(2, 4)
+        tx = make_optimizer(OptimConfig(lr=0.1))
+        state = _pipe_state(videomae.init_params(jax.random.PRNGKey(0), cfg),
+                            tx, mesh)
+        step = make_pipe_videomae_train_step(
+            mesh, cfg, MaskConfig(sampler="tube", mask_ratio=0.5), tx,
+            num_microbatches=1, grad_accum=3,
+        )
+        with pytest.raises(ValueError, match="grad_accum"):
+            step(state, shard_batch(_video(rng), mesh))
+
     def test_block_params_and_momentum_are_stage_sharded(self, rng):
         cfg = _tiny_cfg()
         mask_cfg = MaskConfig(sampler="tube", mask_ratio=0.5)
@@ -248,7 +299,15 @@ class TestTrainerPipeParallel:
         cfg.param_sharding = "fsdp"
         with pytest.raises(ValueError, match="stage sharding"):
             run_pretraining(cfg)
+    def test_trainer_composes_pipe_with_grad_accum(self, frame_corpus,
+                                                   tmp_path):
+        """grad_accum is NOT redundant on a pipe mesh (VERDICT r4 task 5):
+        it multiplies the optimizer-visible batch past one pass's
+        activation budget.  The trainer must route it through."""
+        from bvc_tpu.training.trainer_videomae import run_pretraining
+
         cfg = self._cfg(frame_corpus, tmp_path, "dev_1_g0_default_0_7")
         cfg.optim.grad_accum_steps = 2
-        with pytest.raises(ValueError, match="pipe_microbatches"):
-            run_pretraining(cfg)
+        cfg.pipe_microbatches = 1  # each accum chunk is 1 row per shard
+        summary = run_pretraining(cfg)
+        assert np.isfinite(summary["train_loss"])
