@@ -37,6 +37,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+_HEAVY_MARKS = ("slow", "parity", "multihost")
+
+
+def pytest_collection_modifyitems(items):
+    """Auto-tier: anything not slow/parity/multihost is `fast`.
+
+    `pytest -m fast` is the <5 min smoke tier (VERDICT r4 task 7); the
+    heavyweight torch-subprocess (`parity`), 2-process (`multihost`) and
+    `slow` legs run in the full suite only.
+    """
+    for item in items:
+        if not any(item.get_closest_marker(m) for m in _HEAVY_MARKS):
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -10,6 +10,8 @@ from bvc_tpu.cli.export_torch import build_parser, export
 from bvc_tpu.training.checkpoint import save_checkpoint
 from bvc_tpu.utils.config import ModelConfig
 
+pytestmark = pytest.mark.parity
+
 
 def _tree_allclose(a, b, atol=1e-6):
     la = jax.tree_util.tree_leaves(a)

@@ -24,9 +24,11 @@ from bvc_tpu.masks.multiblock import MultiBlockMaskCollator
 
 REF_MASK = Path("/root/reference/pretraining/predictive/mask.py")
 
-pytestmark = pytest.mark.skipif(
-    not REF_MASK.exists(), reason="reference tree not available"
-)
+pytestmark = [
+    pytest.mark.parity,
+    pytest.mark.skipif(not REF_MASK.exists(),
+                       reason="reference tree not available"),
+]
 
 
 @pytest.fixture(scope="module")

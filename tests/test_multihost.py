@@ -35,6 +35,8 @@ import numpy as np
 from bvc_tpu.parallel.collectives import all_gather_objects, sync_hosts
 from bvc_tpu.data.loader import EpochSampler
 
+pytestmark = pytest.mark.multihost
+
 out = {"process_count": jax.process_count(),
        "process_index": jax.process_index(),
        "local_devices": len(jax.local_devices()),

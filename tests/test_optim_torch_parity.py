@@ -20,6 +20,8 @@ import torch
 from bvc_tpu.training.optim import apply_gradients, make_optimizer
 from bvc_tpu.utils.config import OptimConfig
 
+pytestmark = pytest.mark.parity
+
 N_STEPS = 7
 
 

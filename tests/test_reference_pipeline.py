@@ -50,7 +50,10 @@ from bvc_tpu.utils.config import ModelConfig
 _REF = Path("/root/reference")
 _REPO = Path(__file__).resolve().parent.parent
 
-pytestmark = pytest.mark.skipif(not _REF.exists(), reason="reference tree absent")
+pytestmark = [
+    pytest.mark.skipif(not _REF.exists(), reason="reference tree absent"),
+    pytest.mark.parity,
+]
 
 
 def _run_worker(code: str, payload: dict, tmp_path: Path) -> dict:

@@ -24,6 +24,8 @@ from bvc_tpu.models.torch_interop import (  # noqa: E402
 )
 from bvc_tpu.utils.config import ModelConfig  # noqa: E402
 
+pytestmark = pytest.mark.parity
+
 
 def small_cfgs():
     hf = transformers.VideoMAEConfig(

@@ -53,7 +53,10 @@ from bvc_tpu.utils.config import MaskConfig, ModelConfig, OptimConfig
 
 _REF = Path("/root/reference")
 
-pytestmark = pytest.mark.skipif(not _REF.exists(), reason="reference tree absent")
+pytestmark = [
+    pytest.mark.skipif(not _REF.exists(), reason="reference tree absent"),
+    pytest.mark.parity,
+]
 
 N_STEPS = 3
 LR, WD, MOMENTUM = 0.05, 1e-4, 0.9
