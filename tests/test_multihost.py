@@ -18,6 +18,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.multihost
+
 _REPO = Path(__file__).resolve().parent.parent
 
 _WORKER = r"""
@@ -34,8 +36,6 @@ distributed_init(f"localhost:{port}", n_proc, proc_id)
 import numpy as np
 from bvc_tpu.parallel.collectives import all_gather_objects, sync_hosts
 from bvc_tpu.data.loader import EpochSampler
-
-pytestmark = pytest.mark.multihost
 
 out = {"process_count": jax.process_count(),
        "process_index": jax.process_index(),
@@ -237,6 +237,76 @@ for i in range(5):
     serr = max(serr, float(np.max(np.abs(s_by_name[nm] - ref))))
 out["seq_extract_max_err"] = serr
 
+# CROSS-PROCESS pipeline parallelism (VERDICT r4 task 4): the GPipe step
+# must reproduce the GSPMD DP step's loss AND updated params in two
+# layouts — (a) each pipe ring process-LOCAL (mesh 2x4: data spans the
+# hosts, every ppermute hop stays inside one process) and (b) the pipe
+# ring CROSSING the process boundary (mesh 1x8: activation hops ride the
+# inter-process channel — the DCN case of SCALING.md's worked example).
+# Layout (a) also runs grad_accum=2, crossing the accumulation
+# composition over processes.
+import jax.numpy as jnp
+from bvc_tpu.parallel.pipeline import (
+    make_pipe_mesh, make_pipe_videomae_train_step, pipe_state_shardings,
+)
+
+pcfg = ModelConfig(image_size=16, patch_size=8, num_frames=2, tubelet_size=2,
+                   hidden_size=16, depth=8, num_heads=2,
+                   decoder_hidden_size=8, decoder_depth=8,
+                   decoder_num_heads=2, dtype="float32")
+pp_params = videomae.init_params(jax.random.PRNGKey(4), pcfg)
+pmask = MaskConfig(mask_ratio=0.75)
+# the 4-row global batch, identical on both hosts (deterministic halves)
+rows = np.concatenate([
+    np.random.default_rng(300 + r).integers(0, 255, (4, 2, 16, 16, 3), np.uint8)
+    for r in range(2)
+])
+
+ref_state = place_state(TrainState.create(pp_params, tx, jax.random.PRNGKey(5)),
+                        mesh)
+ref_step = make_videomae_train_step(mesh, pcfg, pmask, tx)
+with mesh:
+    ref_state, ref_m = ref_step(ref_state, shard_batch(rows[proc_id * 4:
+                                                            proc_id * 4 + 4],
+                                                       mesh))
+out["pipe_ref_loss"] = float(np.asarray(ref_m["loss"].addressable_data(0)))
+
+
+def replicated_scalar(fn, *trees):
+    meshes = [l.sharding.mesh for t in trees
+              for l in jax.tree_util.tree_leaves(t)]
+    m = meshes[0]
+    r = jax.jit(fn, out_shardings=NamedSharding(m, P()))(*trees)
+    return float(np.asarray(r.addressable_data(0)))
+
+
+for name, (d_ax, p_ax, mb, accum) in {
+    "pipe_local_ring": (2, 4, 2, 2),
+    "pipe_cross_ring": (1, 8, 2, 1),
+}.items():
+    pmesh = make_pipe_mesh(d_ax, p_ax)
+    pstate = TrainState.create(pp_params, tx, jax.random.PRNGKey(5))
+    # copy post-placement: device_put aliases the source buffer as one
+    # shard, and the donating step would delete pp_params out from under
+    # the next layout (same pattern as tests/test_pipeline.py _pipe_state)
+    pstate = jax.tree_util.tree_map(
+        jnp.copy, jax.device_put(pstate, pipe_state_shardings(pstate, pmesh)))
+    pstep = make_pipe_videomae_train_step(pmesh, pcfg, pmask, tx,
+                                          num_microbatches=mb,
+                                          grad_accum=accum)
+    local = rows if d_ax == 1 else rows[proc_id * 4: proc_id * 4 + 4]
+    with pmesh:
+        pstate, pm = pstep(pstate, shard_batch(local, pmesh))
+    out[name + "_loss"] = float(np.asarray(pm["loss"].addressable_data(0)))
+    # replicated scalar ||pipe_params - ref_params||_inf across BOTH
+    # shardings — GSPMD inserts whatever collectives the comparison needs
+    out[name + "_pdiff"] = replicated_scalar(
+        lambda a, b: jnp.max(jnp.asarray([
+            jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32)))
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b))
+        ])), pstate.params, ref_state.params)
+
 sync_hosts("test-barrier")
 print("RESULT " + json.dumps(out), flush=True)
 """
@@ -327,3 +397,11 @@ def test_two_process_collectives(tmp_path):
         # cross-process seq-parallel extraction: complete and correct
         assert o["seq_extract_names"] == [f"s{i}.mp4" for i in range(5)]
         assert o["seq_extract_max_err"] < 1e-4, o["seq_extract_max_err"]
+        # cross-process pipeline parallelism: both ring layouts (process-
+        # local hops and hops crossing the process boundary) reproduce
+        # the GSPMD DP step's loss and updated params
+        for layout in ("pipe_local_ring", "pipe_cross_ring"):
+            assert o[layout + "_loss"] == pytest.approx(
+                o["pipe_ref_loss"], abs=2e-5), layout
+            assert o[layout + "_pdiff"] < 2e-5, (layout, o[layout + "_pdiff"])
+    assert by_rank[0]["pipe_ref_loss"] == by_rank[1]["pipe_ref_loss"]
