@@ -49,6 +49,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "state (collective-free forwards, ~1/S momentum "
                         "memory — see SCALING.md)")
     p.add_argument("--control_data_root", type=str, default="")
+    p.add_argument("--pack_root", type=str, default="",
+                   help="packed-corpus root (tools: python -m "
+                        "bvc_tpu.cli.pack_corpus); plain transforms read "
+                        "pre-resized uint8 memmaps instead of decoding "
+                        "JPEGs per step")
     p.add_argument("--segment_minutes", type=float, default=30.0,
                    help="fold segment length in minutes (reference: 30)")
     p.add_argument("--log_grad_stats", type=str, default="n",
@@ -121,6 +126,7 @@ def to_train_config(args: argparse.Namespace) -> TrainConfig:
     d.seed = args.seed
     d.num_workers = args.num_workers
     d.control_data_root = args.control_data_root
+    d.pack_root = args.pack_root
     d.segment_minutes = args.segment_minutes
 
     o = cfg.optim

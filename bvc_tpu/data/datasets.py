@@ -23,23 +23,52 @@ from typing import Sequence
 
 import numpy as np
 
-from bvc_tpu.data.transforms import FrameTransform, decode_jpeg
+from bvc_tpu.data.transforms import FrameTransform, decode_jpeg, normalize
 
 
 class _Base:
+    # Optional packed-corpus reader (bvc_tpu.data.packed.PackedCorpus),
+    # attached post-construction by the factory when DataConfig.pack_root
+    # is set.  Plain class attribute so the dataclass constructors stay
+    # reference-shaped.
+    reader = None
+
     def __len__(self) -> int:
         raise NotImplementedError
 
     def __getitem__(self, idx_and_rng) -> np.ndarray:
         raise NotImplementedError
 
+    def _packed_ok(self) -> bool:
+        """Packed rows are the plain stack's pre-normalize output at a
+        fixed size — only substitutable when the transform IS that
+        stack at that size."""
+        return (
+            self.reader is not None
+            and self.transform.is_plain
+            and self.transform.image_size == self.reader.image_size
+            and self.transform.dct_scale == self.reader.dct_scale
+        )
+
+    def _finish(self, frames_u8: np.ndarray) -> np.ndarray:
+        return frames_u8 if self.transform.output_uint8 else normalize(frames_u8)
+
     def _load(self, fp: str, rng: np.random.Generator) -> np.ndarray:
+        if self._packed_ok():
+            img = self.reader.get(fp)
+            if img is not None:
+                return self._finish(img)
         return self.transform(decode_jpeg(fp), rng)
 
     def _load_seq(self, fps, rng: np.random.Generator) -> np.ndarray:
-        """Decode a frame sequence; takes the fused native core
-        (bvc_tpu.native) when the transform is the plain deterministic
-        stack, else the per-frame Python path."""
+        """Load a frame sequence: packed memmap rows when a matching
+        packed corpus is attached (no JPEG decode in the hot path —
+        tools/pack_corpus.py), else the fused native decode
+        (bvc_tpu.native) for plain transforms, else per-frame Python."""
+        if self._packed_ok():
+            seq = self.reader.get_seq(fps)
+            if seq is not None:
+                return self._finish(seq)
         if self.transform.is_plain:
             from bvc_tpu import native
 

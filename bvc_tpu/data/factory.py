@@ -178,4 +178,15 @@ FACTORIES = {
 
 
 def make_dataset(family: str, cfg: DataConfig) -> dict:
-    return FACTORIES[family](cfg)
+    dsets = FACTORIES[family](cfg)
+    if cfg.pack_root:
+        # packed-corpus fast path (bvc_tpu/data/packed.py): plain
+        # transforms read pre-resized uint8 memmap rows instead of
+        # decoding JPEGs; augmented transforms ignore the reader
+        from bvc_tpu.data.packed import PackedCorpus
+
+        reader = PackedCorpus(cfg.pack_root, cfg.image_size)
+        for ds in dsets.values():
+            if ds is not None:
+                ds.reader = reader
+    return dsets

@@ -136,6 +136,9 @@ class DataConfig:
     native_fps: float = 30.0
     # Matched-complexity control data root ('controls.py:44-49')
     control_data_root: str = ""
+    # Packed-corpus root (bvc_tpu/data/packed.py): plain transforms read
+    # pre-resized uint8 memmaps instead of decoding JPEGs per step
+    pack_root: str = ""
 
     @property
     def segment_size(self) -> int:
