@@ -29,8 +29,10 @@ Sharding layout: ``video [B, T, H, W, C]`` with B over ``data`` and T
 over ``seq``; params replicated, optimizer state replicated or — with
 ``param_mode='zero1'`` — sharded over ``data`` (the optimizer update
 runs outside the shard_map under GSPMD, so the zero1 slicing composes
-exactly as in the main step; fsdp/tp stay rejected because they would
-shard the very params the ring step holds whole per chip).  Gradient
+exactly as in the main step; FSDP stays rejected because it would
+re-gather the whole stack per layer inside the ring, while tensor
+parallelism composes via :func:`make_seq_tp_videomae_train_step` — the
+heads-sharded Megatron step over a third ``model`` axis).  Gradient
 accumulation (``grad_accum``) scans local microbatches inside the
 shard_map with the cross-chip reduction still once per optimizer step.
 Per-chip attention memory falls from O(N²) to O((N/S)²)
@@ -164,6 +166,7 @@ def _local_pretrain_loss(
     num_visible_local: int,
     enc_pos_local: jnp.ndarray,
     dec_pos_local: jnp.ndarray,
+    tp: int = 1,
 ) -> jnp.ndarray:
     """This shard's mean masked-patch loss over its own sheets.
 
@@ -171,6 +174,10 @@ def _local_pretrain_loss(
     ``encode_visible`` + ``decode_masked`` + ``patch_targets`` with two
     sequence-parallel substitutions: position tables are this shard's
     rows, and both stacks attend with ``ring:seq``.
+
+    ``tp > 1``: block params arrive as this 'model' shard's head-major
+    slices and the stacks run :func:`_run_blocks_seq_tp` (heads-sharded
+    Megatron TP composed with the ring — see the module section below).
     """
     from bvc_tpu.masks.tube import mask_partition
     from bvc_tpu.models.videomae import (
@@ -194,10 +201,15 @@ def _local_pretrain_loss(
         enc_pos_local.astype(dtype)[None], (b,) + enc_pos_local.shape
     )
     x = x + jnp.take_along_axis(enc_pos, visible_idx[..., None], axis=1)
-    x = run_blocks(
-        params["encoder"], x, cfg.num_heads, cfg.layer_norm_eps, cfg.remat,
-        attn_impl=f"ring:{SEQ_AXIS}", unroll=cfg.depth <= 12,
-    )
+    if tp > 1:
+        x = _run_blocks_seq_tp(params["encoder"], x, cfg.num_heads // tp,
+                               cfg.layer_norm_eps, cfg.remat,
+                               unroll=cfg.depth <= 12)
+    else:
+        x = run_blocks(
+            params["encoder"], x, cfg.num_heads, cfg.layer_norm_eps, cfg.remat,
+            attn_impl=f"ring:{SEQ_AXIS}", unroll=cfg.depth <= 12,
+        )
 
     # ---- decoder over this shard's full grid (ring attention) ----
     z = jnp.dot(
@@ -210,10 +222,17 @@ def _local_pretrain_loss(
     pos_mask = jnp.take_along_axis(dec_pos, masked_idx[..., None], axis=1)
     mask_tok = params["mask_token"].astype(dtype)
     y = jnp.concatenate([z + pos_vis, mask_tok + pos_mask], axis=1)
-    y = run_blocks(
-        params["decoder"], y, cfg.decoder_num_heads, cfg.layer_norm_eps, cfg.remat,
-        attn_impl=f"ring:{SEQ_AXIS}", unroll=cfg.decoder_depth <= 4,
-    )
+    if tp > 1:
+        y = _run_blocks_seq_tp(params["decoder"], y,
+                               cfg.decoder_num_heads // tp,
+                               cfg.layer_norm_eps, cfg.remat,
+                               unroll=cfg.decoder_depth <= 4)
+    else:
+        y = run_blocks(
+            params["decoder"], y, cfg.decoder_num_heads, cfg.layer_norm_eps,
+            cfg.remat, attn_impl=f"ring:{SEQ_AXIS}",
+            unroll=cfg.decoder_depth <= 4,
+        )
     y = y[:, -masked_idx.shape[1]:]
     y = layer_norm(y, params["decoder_norm"], cfg.layer_norm_eps)
     head = params["decoder_head"]
@@ -269,9 +288,13 @@ def make_seq_videomae_train_step(
         )
     if param_mode not in ("replicated", "zero1"):
         raise ValueError(
-            "sequence parallelism composes with 'replicated' or 'zero1' "
-            f"param sharding only (got {param_mode!r}); fsdp/tp would "
-            "shard the very params the ring step holds whole per chip"
+            "this step composes with 'replicated' or 'zero1' param "
+            f"sharding (got {param_mode!r}). FSDP stays rejected: it "
+            "would re-gather the whole stack per layer inside the ring. "
+            "Tensor parallelism IS available — add a 'model' mesh axis "
+            "and use make_seq_tp_videomae_train_step (heads-sharded "
+            "Megatron TP composed with the ring; --mesh "
+            "data=..,seq=..,model=.. on the CLI)"
         )
     from jax.sharding import NamedSharding
 
@@ -553,3 +576,381 @@ def make_seq_jepa_embed_fn(mesh: Mesh, cfg: ModelConfig,
             check_vma=not gather_output,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel x tensor-parallel composition (VERDICT r4 task 6)
+# ---------------------------------------------------------------------------
+#
+# Heads-sharded TP over a 'model' mesh axis composed WITH ring attention
+# over 'seq': TP splits attention over HEADS and the MLP over its hidden
+# width — both orthogonal to the ring's split over TIME, so each
+# (data, seq, model) shard runs ring attention for its H/tp heads over
+# its T/S sheets.  Standard Megatron-style manual collectives inside the
+# shard_map:
+#
+# - column-parallel qkv/fc1 (activations replicated over 'model', each
+#   shard computes its head/hidden slice), preceded by the "f" operator
+#   (identity forward, psum-over-'model' backward — the cotangents of a
+#   replicated activation are partial per shard);
+# - row-parallel proj/fc2 followed by the "g" operator (psum forward,
+#   identity backward); their biases are added AFTER the psum.
+#
+# Storage stays canonical and REPLICATED (an 87M-param ViT-B needs no
+# param sharding; TP here buys attention/MLP compute + activation
+# splitting for long-clip runs, not parameter memory): the step permutes
+# the fused qkv leaves to head-major column order outside the shard_map
+# (the stored (3, H, d) order would make contiguous column slices span
+# q/k/v of DIFFERENT heads), lets the in_specs slice head-aligned
+# columns, and permutes the qkv grads back.  The permute is an O(params)
+# elementwise pass per step (~0.5 ms at ViT-B vs a >100 ms step).
+#
+# Communication per layer per direction: 2 psums over 'model' (g fwd /
+# f bwd) of [b_local, n_local, D] activations — riding the innermost
+# ICI axis — on top of the ring's S-1 ppermutes over 'seq'.  Counts
+# verified against compiled HLO in tests/test_seqpar_tp.py.
+
+
+def make_seq_tp_mesh(data: int, seq: int, model: int, devices=None) -> Mesh:
+    """``(data, seq, model)`` mesh; ``model`` innermost (4 psums/layer
+    ride the fastest links), ``seq`` next (ring hops), ``data`` outer."""
+    from bvc_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+    if devices is None:
+        devices = jax.devices()[: data * seq * model]
+    return make_mesh(
+        {DATA_AXIS: data, SEQ_AXIS: seq, MODEL_AXIS: model}, devices=devices
+    )
+
+
+def _ident_fwd_psum_bwd(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Megatron's "f": identity forward, psum backward over ``axis``."""
+
+    @jax.custom_vjp
+    def f(v):
+        return v
+
+    f.defvjp(lambda v: (v, None),
+             lambda _, g: (jax.lax.psum(g, axis),))
+    return f(x)
+
+
+def _psum_fwd_ident_bwd(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Megatron's "g": psum forward, identity backward (the cotangent of
+    a replicated downstream activation is already complete)."""
+
+    @jax.custom_vjp
+    def g_op(v):
+        return jax.lax.psum(v, axis)
+
+    g_op.defvjp(lambda v: (jax.lax.psum(v, axis), None),
+                lambda _, g: (g,))
+    return g_op(x)
+
+
+def _headmajor_qkv(params: dict, cfg: ModelConfig, inverse: bool = False) -> dict:
+    """Permute fused-qkv leaves between the canonical ``(3, H, d)`` column
+    order and the head-major ``(H, 3, d)`` order whose contiguous column
+    slices are whole heads (what the TP in_specs slice)."""
+    out = dict(params)
+    for stack, heads in (("encoder", cfg.num_heads),
+                         ("decoder", cfg.decoder_num_heads)):
+        blocks = dict(out[stack])
+        attn = dict(blocks["attn"])
+        qkv = dict(attn["qkv"])
+        d = qkv["kernel"].shape[-1] // (3 * heads)
+
+        def fix(leaf):
+            lead = leaf.shape[:-1]
+            if inverse:
+                r = leaf.reshape(*lead, heads, 3, d)
+                r = jnp.swapaxes(r, -3, -2)  # (H,3,d) -> (3,H,d)
+            else:
+                r = leaf.reshape(*lead, 3, heads, d)
+                r = jnp.swapaxes(r, -3, -2)  # (3,H,d) -> (H,3,d)
+            return r.reshape(*lead, 3 * heads * d)
+
+        qkv["kernel"] = fix(qkv["kernel"])
+        if "bias" in qkv:
+            qkv["bias"] = fix(qkv["bias"])
+        attn["qkv"] = qkv
+        blocks["attn"] = attn
+        out[stack] = blocks
+    return out
+
+
+def _tp_param_specs(params: dict) -> Any:
+    """shard_map in/out specs: head-major qkv + fc1 column-sharded on
+    their last dim, proj/fc2 row-sharded on the contraction dim,
+    everything else replicated."""
+    from bvc_tpu.parallel.mesh import MODEL_AXIS
+
+    def spec(path, leaf):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if keys and keys[0] in ("encoder", "decoder"):
+            if "qkv" in keys or "fc1" in keys:
+                return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
+            if ("proj" in keys or "fc2" in keys) and keys[-1] == "kernel":
+                return P(None, MODEL_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def _run_blocks_seq_tp(stacked: dict, x: jnp.ndarray, heads_local: int,
+                       eps: float, remat: bool, unroll: bool) -> jnp.ndarray:
+    """TP twin of :func:`bvc_tpu.models.vit.run_blocks` for use inside the
+    (data, seq, model) shard_map: ring attention over 'seq' on this
+    shard's local heads, manual Megatron collectives over 'model'."""
+    from bvc_tpu.models.vit import layer_norm
+    from bvc_tpu.ops.attention import multi_head_attention
+    from bvc_tpu.ops.gelu import gelu
+    from bvc_tpu.parallel.mesh import MODEL_AXIS
+
+    dtype = x.dtype
+    B, N, D = x.shape
+    d = None  # resolved per layer from the local qkv width
+
+    def dot(v, p, bias: bool):
+        o = jnp.dot(v, p["kernel"].astype(dtype), preferred_element_type=dtype)
+        if bias and "bias" in p:
+            o = o + p["bias"].astype(dtype)
+        return o
+
+    def body(carry, layer):
+        x = carry
+        h = layer_norm(x, layer["ln1"], eps)
+        h = _ident_fwd_psum_bwd(h, MODEL_AXIS)
+        qkv = dot(h, layer["attn"]["qkv"], bias=True)  # local heads' slice
+        dh = qkv.shape[-1] // (3 * heads_local)
+        qkv = qkv.reshape(B, N, heads_local, 3, dh)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        o = multi_head_attention(q, k, v, impl=f"ring:{SEQ_AXIS}")
+        o = dot(o.reshape(B, N, heads_local * dh), layer["attn"]["proj"],
+                bias=False)
+        o = _psum_fwd_ident_bwd(o, MODEL_AXIS)
+        o = o + layer["attn"]["proj"]["bias"].astype(dtype)
+        x = x + o
+        h = layer_norm(x, layer["ln2"], eps)
+        h = _ident_fwd_psum_bwd(h, MODEL_AXIS)
+        h = gelu(dot(h, layer["mlp"]["fc1"], bias=True))
+        h = dot(h, layer["mlp"]["fc2"], bias=False)
+        h = _psum_fwd_ident_bwd(h, MODEL_AXIS)
+        h = h + layer["mlp"]["fc2"]["bias"].astype(dtype)
+        return x + h, None
+
+    if unroll and not remat:
+        depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        for i in range(depth):
+            x, _ = body(x, jax.tree_util.tree_map(lambda l: l[i], stacked))
+        return x
+    fn = jax.checkpoint(body) if remat else body
+    out, _ = jax.lax.scan(fn, x, stacked)
+    return out
+
+
+def make_seq_tp_videomae_train_step(
+    mesh: Mesh,
+    model_cfg: ModelConfig,
+    mask_cfg: MaskConfig,
+    tx,
+    grad_probes=None,
+    grad_accum: int = 1,
+):
+    """Sequence-parallel x tensor-parallel VideoMAE train step over a
+    ``(data, seq, model)`` mesh (:func:`make_seq_tp_mesh`) — same
+    ``step(state, video) -> (state, metrics)`` contract and mask
+    sampling as :func:`make_seq_videomae_train_step`, equivalence-tested
+    against it and the GSPMD DP step (tests/test_seqpar_tp.py).
+
+    Params/optimizer state stay canonical and replicated (see the TP
+    section comment above); the step permutes the fused qkv leaves to
+    head-major column order around the shard_map so the 'model' slices
+    are whole heads.
+    """
+    from bvc_tpu.parallel.mesh import MODEL_AXIS
+
+    _check_mesh(mesh)
+    if MODEL_AXIS not in mesh.axis_names:
+        raise ValueError(
+            f"the seq x tp step needs a '{MODEL_AXIS}' mesh axis "
+            f"(got {mesh.axis_names}); use make_seq_tp_mesh(data, seq, model)"
+        )
+    tp = mesh.shape[MODEL_AXIS]
+    for what, heads in (("num_heads", model_cfg.num_heads),
+                        ("decoder_num_heads", model_cfg.decoder_num_heads)):
+        if heads % tp:
+            raise ValueError(
+                f"tensor parallelism shards whole heads: {what}={heads} "
+                f"does not divide over model={tp}"
+            )
+    if mask_cfg.sampler != "tube":
+        raise ValueError(
+            "sequence-parallel VideoMAE requires the tube sampler (its "
+            "per-sheet visible count is what keeps shard shapes static); "
+            f"got {mask_cfg.sampler!r}"
+        )
+    from jax.sharding import NamedSharding
+
+    from bvc_tpu.models.videomae import pos_tables
+    from bvc_tpu.training.optim import apply_gradients
+    from bvc_tpu.training.probes import videomae_grad_metrics
+    from bvc_tpu.training.state import TrainState
+
+    n_shards = _seq_size(mesh)
+    t_local = _local_sheets(model_cfg, n_shards)
+    hw = model_cfg.image_size // model_cfg.patch_size
+    n_space = hw * hw
+    n_masked_space = int(mask_cfg.mask_ratio * n_space)
+    num_visible_local = (n_space - n_masked_space) * t_local
+    enc_table, dec_table = pos_tables(model_cfg)
+
+    def local_loss_grads(params, mask_rng, video_local):
+        b_local = video_local.shape[0]
+        mask_local = _local_tube_masks(
+            mask_rng, b_local, t_local, n_space, n_masked_space
+        )
+        enc_pos = _local_pos_rows(enc_table, n_shards)
+        dec_pos = _local_pos_rows(dec_table, n_shards)
+
+        def loss_fn(p):
+            return _local_pretrain_loss(
+                p, video_local, mask_local, model_cfg, num_visible_local,
+                enc_pos, dec_pos, tp=tp,
+            )
+
+        if grad_accum > 1:
+            if b_local % grad_accum:
+                raise ValueError(
+                    f"grad_accum_steps ({grad_accum}) must divide the "
+                    f"per-data-shard batch ({b_local})"
+                )
+            vb = video_local.reshape(
+                grad_accum, b_local // grad_accum, *video_local.shape[1:]
+            )
+            mb = mask_local.reshape(
+                grad_accum, b_local // grad_accum, *mask_local.shape[1:]
+            )
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+            def micro(carry, xs):
+                g_acc, l_acc = carry
+                v, m = xs
+
+                def lf(p):
+                    return _local_pretrain_loss(
+                        p, v, m, model_cfg, num_visible_local,
+                        enc_pos, dec_pos, tp=tp,
+                    )
+
+                loss, g = jax.value_and_grad(lf)(params)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                        l_acc + loss), None
+
+            (g_sum, l_sum), _ = jax.lax.scan(micro, (zero_g, 0.0), (vb, mb))
+            loss_local = l_sum / grad_accum
+            grads_local = jax.tree_util.tree_map(
+                lambda x: x / grad_accum, g_sum
+            )
+        else:
+            loss_local, grads_local = jax.value_and_grad(loss_fn)(params)
+        # loss is identical across 'model' (activations replicated post-
+        # psum); sharded-leaf grads are slice-complete per model shard and
+        # replicated-leaf grads identical — so the reduction stays over
+        # (data, seq) only, exactly as the pure-seq step
+        loss = jax.lax.pmean(loss_local, (DATA_AXIS, SEQ_AXIS))
+        grads = jax.lax.pmean(grads_local, (DATA_AXIS, SEQ_AXIS))
+        return loss, grads
+
+    def local_eval_loss(params, eval_rng, video_local):
+        mask_local = _local_tube_masks(
+            eval_rng, video_local.shape[0], t_local, n_space, n_masked_space
+        )
+        loss_local = _local_pretrain_loss(
+            params, video_local, mask_local, model_cfg, num_visible_local,
+            _local_pos_rows(enc_table, n_shards),
+            _local_pos_rows(dec_table, n_shards), tp=tp,
+        )
+        return jax.lax.pmean(loss_local, (DATA_AXIS, SEQ_AXIS))
+
+    video_spec = P(DATA_AXIS, SEQ_AXIS)
+
+    def _sm(params_hm):
+        specs = _tp_param_specs(params_hm)
+        return jax.shard_map(
+            local_loss_grads, mesh=mesh,
+            in_specs=(specs, P(), video_spec), out_specs=(P(), specs),
+            check_vma=False,
+        )
+
+    def step(state: TrainState, video: jnp.ndarray):
+        rng, mask_rng = jax.random.split(state.rng)
+        p_hm = _headmajor_qkv(state.params, model_cfg)
+        loss, g_hm = _sm(p_hm)(p_hm, mask_rng, video)
+        grads = _headmajor_qkv(g_hm, model_cfg, inverse=True)
+        params, opt_state = apply_gradients(
+            tx, grads, state.opt_state, state.params
+        )
+        metrics = {"loss": loss}
+        metrics.update(videomae_grad_metrics(grads))
+        for name, fn in (grad_probes or {}).items():
+            metrics[name] = fn(grads)
+        return (
+            TrainState(
+                step=state.step + 1, params=params, opt_state=opt_state,
+                rng=rng, target_params=state.target_params, extra=state.extra,
+            ),
+            metrics,
+        )
+
+    video_sh = NamedSharding(mesh, video_spec)
+    rep = NamedSharding(mesh, P())
+    cache = {}
+
+    def _shardings(state: TrainState):
+        if "st_sh" not in cache:
+            from bvc_tpu.training.steps import _tree_shardings
+
+            cache["st_sh"] = _tree_shardings(state, mesh, "replicated")
+        return cache["st_sh"]
+
+    def train(state: TrainState, batch):
+        if "jit" not in cache:
+            st_sh = _shardings(state)
+            cache["jit"] = jax.jit(
+                step, in_shardings=(st_sh, video_sh),
+                out_shardings=(st_sh, rep), donate_argnums=(0,),
+            )
+        return cache["jit"](state, batch)
+
+    def compiled_text(state: TrainState, batch) -> str:
+        st_sh = _shardings(state)
+        jitted = jax.jit(
+            step, in_shardings=(st_sh, video_sh), out_shardings=(st_sh, rep)
+        )
+        return jitted.lower(state, batch).compile().as_text()
+
+    def eval_step(state: TrainState, video, step_idx):
+        p_hm = _headmajor_qkv(state.params, model_cfg)
+        specs = _tp_param_specs(p_hm)
+        sm = jax.shard_map(
+            local_eval_loss, mesh=mesh,
+            in_specs=(specs, P(), video_spec), out_specs=P(),
+            check_vma=False,
+        )
+        return {"loss": sm(p_hm, jax.random.fold_in(state.rng, step_idx),
+                           video)}
+
+    def evaluate(state: TrainState, batch, step_idx=0):
+        if "ejit" not in cache:
+            st_sh = _shardings(state)
+            cache["ejit"] = jax.jit(
+                eval_step, in_shardings=(st_sh, video_sh, rep),
+                out_shardings=rep,
+            )
+        return cache["ejit"](state, batch, jnp.asarray(step_idx, jnp.int32))
+
+    train.eval_step = evaluate
+    train.shardings = lambda: cache.get("st_sh")
+    train.compiled_text = compiled_text
+    return train

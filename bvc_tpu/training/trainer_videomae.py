@@ -126,12 +126,34 @@ def run_pretraining(cfg: TrainConfig, mesh=None) -> dict:
         from bvc_tpu.training.probes import full_grad_probes
 
         probes.update(full_grad_probes("videomae"))
-    if seq_parallel:
+    if seq_parallel and "model" in mesh.axis_names:
+        # long-clip x tensor-parallel mode (--mesh data=..,seq=..,model=..):
+        # heads-sharded Megatron TP composed with ring attention
+        # (bvc_tpu/parallel/seqpar.py TP section; SCALING.md "Seq x TP")
+        from bvc_tpu.parallel.seqpar import (
+            make_seq_tp_videomae_train_step, require_process_local_seq,
+        )
+
+        if cfg.param_sharding != "replicated":
+            raise ValueError(
+                "the seq x tp step keeps params canonical and replicated "
+                "(TP shards COMPUTE over heads, not storage) -- "
+                f"--param_sharding must stay 'replicated' "
+                f"(got {cfg.param_sharding!r})"
+            )
+        require_process_local_seq(mesh)
+        step = make_seq_tp_videomae_train_step(
+            mesh, cfg.model, cfg.mask, tx, probes,
+            grad_accum=cfg.optim.grad_accum_steps,
+        )
+        state = place_state(state, mesh, "replicated")
+    elif seq_parallel:
         # long-clip mode: time axis sharded over 'seq', ring attention
         # (bvc_tpu/parallel/seqpar.py; SCALING.md "Sequence parallelism").
         # Composes with 'replicated' or 'zero1' param sharding, grad
         # accumulation, and grad-stats probes; make_seq_videomae_train_step
-        # rejects fsdp/tp with the real reason.
+        # rejects fsdp with the real reason (and points tp at the
+        # 'model'-axis composition above).
         from bvc_tpu.parallel.seqpar import (
             make_seq_videomae_train_step, require_process_local_seq,
         )
