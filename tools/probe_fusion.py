@@ -18,7 +18,9 @@ A/Bs candidate fixes at the headline decoder shape ``[48, 1568, 384]``
    pre-transposed q/k/v (``_flash`` directly), proj via einsum — i.e.
    variants (a)+(c) of the VERDICT task without a new kernel.
 
-Usage: python tools/probe_fusion.py [batch] [reps]
+Usage: python tools/probe_fusion.py [batch] [reps] [mode]
+  mode: all | fwd | bwd  (``bwd``: the two fwd+bwd rows + parity only —
+  the compile-heavy rows the first full run timed out before)
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    mode = sys.argv[3] if len(sys.argv) > 3 else "all"
     cfg = ModelConfig()
     N, D, H = cfg.seq_len, cfg.decoder_hidden_size, cfg.decoder_num_heads
     d = D // H
@@ -65,7 +68,7 @@ def main():
         jnp.asarray(rng.standard_normal((B, N, 3 * D)), jnp.bfloat16))
     bhnd = jax.device_put(
         jnp.asarray(rng.standard_normal((B, H, N, d)), jnp.bfloat16))
-    print(f"B={B} N={N} D={D} heads={H} depth={depth} reps={reps}")
+    print(f"B={B} N={N} D={D} heads={H} depth={depth} reps={reps} mode={mode}")
     big_reps = max(8, reps // 4)
 
     rows = {}
@@ -73,63 +76,23 @@ def main():
     def row(name, ms):
         ms -= rows.get("null (floor)", 0.0)
         rows[name] = ms
-        print(f"{name:34s} {ms:8.2f} ms")
+        print(f"{name:34s} {ms:8.2f} ms", flush=True)
 
-    row("null (floor)",
-        timed(lambda p, v: v * jnp.bfloat16(1.0001), dec, x, reps=reps)
-        + rows.get("null (floor)", 0.0))
-    rows["null (floor)"] = rows.pop("null (floor)")
-
-    # ---- 1. baseline ----
-    row("baseline stack fwd",
-        timed(lambda p, v: run_blocks(p, v, H, 1e-12, unroll=True),
-              dec, x, reps=big_reps))
+    floor = timed(lambda p, v: v * jnp.bfloat16(1.0001), dec, x, reps=reps)
+    rows["null (floor)"] = floor
+    print(f"{'null (floor)':34s} {floor:8.2f} ms  (subtracted)", flush=True)
 
     def base_loss(p, v):
         return jnp.sum(
             run_blocks(p, v, H, 1e-12, unroll=True).astype(jnp.float32))
 
-    row("baseline stack fwd+bwd",
-        timed(lambda p, v: jax.value_and_grad(base_loss)(p, v), dec, x,
-              reps=big_reps))
-
-    # ---- 2. the qkv boundary chain alone (per layer) ----
-    def qkv_boundary(_, q3):
-        r = q3.reshape(B, N, 3, H, d)
-        q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
-        qt = (q * scale).astype(q.dtype).transpose(0, 2, 1, 3)
-        return qt, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-
-    row("qkv slice+scale+3transposes x1",
-        timed(qkv_boundary, None, qkv3, reps=reps))
-
-    def one_transpose(_, q3):
-        r = q3.reshape(B, N, 3, H, d).transpose(2, 0, 3, 1, 4)
-        return r[0] * jnp.bfloat16(scale), r[1], r[2]
-
-    row("qkv ONE packed transpose x1",
-        timed(one_transpose, None, qkv3, reps=reps))
-
-    # ---- 3. proj boundary ----
-    l0 = jax.tree_util.tree_map(lambda p: p[0], dec)
-
-    def proj_via_transpose(p, a):
-        out = a.transpose(0, 2, 1, 3).reshape(B, N, D)
-        return _dense(out, p["attn"]["proj"], jnp.bfloat16)
-
-    row("proj transpose+reshape+dense x1",
-        timed(proj_via_transpose, l0, bhnd, reps=reps))
-
+    # ---- the one-transpose restructured block (variants a+c) ----
     def proj_via_einsum(p, a):
         kern = p["attn"]["proj"]["kernel"].astype(jnp.bfloat16)
         out = jnp.einsum("bhnd,hdD->bnD", a, kern.reshape(H, d, D),
                          preferred_element_type=jnp.bfloat16)
         return out + p["attn"]["proj"]["bias"].astype(jnp.bfloat16)
 
-    row("proj direct einsum x1",
-        timed(proj_via_einsum, l0, bhnd, reps=reps))
-
-    # ---- 4. one-transpose block (variants a+c, no new kernel) ----
     def block_one_t(p, v):
         h = layer_norm(v, p["ln1"], 1e-12)
         q3 = _dense(h, p["attn"]["qkv"], jnp.bfloat16)
@@ -146,22 +109,57 @@ def main():
             v = block_one_t(jax.tree_util.tree_map(lambda l: l[i], p), v)
         return v
 
-    row("one-transpose stack fwd",
-        timed(stack_one_t, dec, x, reps=big_reps))
-
     def one_t_loss(p, v):
         return jnp.sum(stack_one_t(p, v).astype(jnp.float32))
 
-    row("one-transpose stack fwd+bwd",
-        timed(lambda p, v: jax.value_and_grad(one_t_loss)(p, v), dec, x,
-              reps=big_reps))
+    if mode in ("all", "fwd"):
+        row("baseline stack fwd",
+            timed(lambda p, v: run_blocks(p, v, H, 1e-12, unroll=True),
+                  dec, x, reps=big_reps))
 
-    # parity check (same math, different layout route)
-    a = run_blocks(dec, x, H, 1e-12, unroll=True)
-    b = stack_one_t(dec, x)
-    err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                - b.astype(jnp.float32))))
-    print(f"one-transpose max|diff| vs baseline: {err:.3e}")
+        def qkv_boundary(_, q3):
+            r = q3.reshape(B, N, 3, H, d)
+            q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+            qt = (q * scale).astype(q.dtype).transpose(0, 2, 1, 3)
+            return qt, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+
+        row("qkv slice+scale+3transposes x1",
+            timed(qkv_boundary, None, qkv3, reps=reps))
+
+        def one_transpose(_, q3):
+            r = q3.reshape(B, N, 3, H, d).transpose(2, 0, 3, 1, 4)
+            return r[0] * jnp.bfloat16(scale), r[1], r[2]
+
+        row("qkv ONE packed transpose x1",
+            timed(one_transpose, None, qkv3, reps=reps))
+
+        l0 = jax.tree_util.tree_map(lambda p: p[0], dec)
+
+        def proj_via_transpose(p, a):
+            out = a.transpose(0, 2, 1, 3).reshape(B, N, D)
+            return _dense(out, p["attn"]["proj"], jnp.bfloat16)
+
+        row("proj transpose+reshape+dense x1",
+            timed(proj_via_transpose, l0, bhnd, reps=reps))
+        row("proj direct einsum x1",
+            timed(proj_via_einsum, l0, bhnd, reps=reps))
+        row("one-transpose stack fwd",
+            timed(stack_one_t, dec, x, reps=big_reps))
+
+    if mode in ("all", "bwd"):
+        row("baseline stack fwd+bwd",
+            timed(lambda p, v: jax.value_and_grad(base_loss)(p, v), dec, x,
+                  reps=big_reps))
+        row("one-transpose stack fwd+bwd",
+            timed(lambda p, v: jax.value_and_grad(one_t_loss)(p, v), dec, x,
+                  reps=big_reps))
+
+        # parity check (same math, different layout route)
+        a = run_blocks(dec, x, H, 1e-12, unroll=True)
+        b = stack_one_t(dec, x)
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                    - b.astype(jnp.float32))))
+        print(f"one-transpose max|diff| vs baseline: {err:.3e}", flush=True)
 
 
 if __name__ == "__main__":
