@@ -496,8 +496,15 @@ def flash_attention(
         # PERFORMANCE.md round-4 addendum) even though the kernel
         # compiles and runs standalone.  So: full-KV where it is
         # proven end-to-end (the masked/bias path), the measured-safe
-        # 784 elsewhere; pass bwd_block_k explicitly to override.
-        bwd_block_k = full_kv if key_mask is not None else 784
+        # 784 elsewhere; pass bwd_block_k explicitly (or set the
+        # BVC_FLASH_BWD_BK env var) to override.
+        import os as _os
+
+        env_bk = _os.environ.get("BVC_FLASH_BWD_BK")
+        if env_bk:
+            bwd_block_k = int(env_bk)
+        else:
+            bwd_block_k = full_kv if key_mask is not None else 784
     bbk = _pick_block(Np, bwd_block_k, sub)
     if key_mask is not None:
         # the bias kernels dynamically slice the LANE dim of the [1, Np]

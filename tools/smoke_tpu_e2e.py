@@ -9,7 +9,7 @@ end to end on hardware (the reference's whole-job analogue:
 ``slurmscripts/*/slurm_dev_def.bash:68-177``).
 
 Usage: ``python tools/smoke_tpu_e2e.py
-[generative|predictive|contrastive|control|rnd]``
+[generative|generative_long|predictive|predictive_unt|contrastive|control|rnd]``
 (default generative = VideoMAE-B; predictive = JEPA ViT-B; contrastive =
 SimCLR resnet18 — each at its reference preset shapes, shrunk only in
 iteration count and sampling interval to fit the synthetic corpus;
@@ -146,7 +146,7 @@ def main():
         # stage; seq-unit fold segments of 24 keep all 3 folds non-empty
         shrink["n_trainsamples"] = 16
         shrink["max_epoch_iters"] = 2
-    if preset_name in ("predictive", "contrastive"):
+    if preset_name in ("predictive", "predictive_unt", "contrastive"):
         # pair availability per fold-subject is ~(80 - interval) frames;
         # stage 2 trains on a single-subject group in this corpus.  Cap
         # the interval INSIDE each stage override too, so the reference's
