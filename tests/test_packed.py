@@ -179,3 +179,25 @@ class TestFactoryIntegration:
             np.testing.assert_array_equal(
                 plain[(i, np.random.default_rng(0))],
                 packed[(i, np.random.default_rng(0))])
+
+
+class TestPackCli:
+    def test_cli_packs_group_subset(self, jpg_corpus, tmp_path):
+        from bvc_tpu.cli.pack_corpus import main
+
+        out = tmp_path / "packed"
+        main(["-jpg_root", jpg_corpus, "-pack_root", str(out),
+              "--image_size", str(S), "--group", "g0"])
+        # both fixture subjects are g0 members
+        assert (out / "008MS" / f"frames_{S}.u8").exists()
+        assert (out / "009SS" / f"frames_{S}.json").exists()
+        r = PackedCorpus(str(out), S)
+        got = r.get(str(Path(jpg_corpus) / "008MS" / "00000.jpg"))
+        assert got is not None and got.shape == (S, S, 3)
+
+    def test_cli_rejects_unknown_group(self, jpg_corpus, tmp_path):
+        from bvc_tpu.cli.pack_corpus import main
+
+        with pytest.raises(SystemExit):
+            main(["-jpg_root", jpg_corpus, "-pack_root", str(tmp_path),
+                  "--group", "zz"])
