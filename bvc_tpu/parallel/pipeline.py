@@ -37,8 +37,9 @@ TPU-first design notes:
 
 Exactness: the schedule reorders nothing — microbatch j's tokens meet
 exactly the layers they would on one chip, the loss is the same mean over
-the same masked patches (tube masks give every sample an identical
-masked count, so the microbatch mean composes to the batch mean), and the
+the same masked patches (both the tube and random samplers fix the
+per-sample masked count, so the microbatch mean composes to the batch
+mean), and the
 single ``pmean`` over ``data`` + ``psum`` over ``pipe`` reproduce the
 GSPMD gradients.  Equivalence vs
 :func:`bvc_tpu.training.steps.make_videomae_train_step` (loss, updated
@@ -183,8 +184,11 @@ def make_pipe_videomae_train_step(
     (replicated over ``pipe``), encoder/decoder block params sharded
     ``P('pipe')`` on their depth axis.
 
-    Tube masks only — the same static-per-shard-shape argument as the
-    sequence-parallel step (:mod:`bvc_tpu.parallel.seqpar`).
+    Both mask samplers are supported: the sequence stays whole on every
+    stage (only DEPTH is sharded), so any sampler with a fixed per-sample
+    masked count keeps microbatch shapes static — tube AND random
+    qualify.  (Contrast :mod:`bvc_tpu.parallel.seqpar`, which shards the
+    TIME axis and genuinely needs tube masks' per-sheet count invariant.)
 
     ``grad_accum > 1`` composes gradient accumulation WITH the GPipe
     schedule: the per-data-shard batch splits into ``grad_accum``
@@ -200,11 +204,11 @@ def make_pipe_videomae_train_step(
     in tests/test_pipeline.py).
     """
     _check_mesh(mesh)
-    if mask_cfg.sampler != "tube":
+    if mask_cfg.sampler not in ("tube", "random"):
         raise ValueError(
-            "pipeline-parallel VideoMAE requires the tube sampler (its "
-            "fixed per-sample visible count keeps microbatch shapes "
-            f"static); got {mask_cfg.sampler!r}"
+            "pipeline-parallel VideoMAE supports the 'tube' and 'random' "
+            f"samplers (fixed per-sample visible count); got "
+            f"{mask_cfg.sampler!r}"
         )
     from bvc_tpu.masks.tube import mask_partition
     from bvc_tpu.models.videomae import (
@@ -222,9 +226,36 @@ def make_pipe_videomae_train_step(
     t_sheets = model_cfg.num_time_steps
     hw = model_cfg.image_size // model_cfg.patch_size
     n_space = hw * hw
-    n_masked_space = int(mask_cfg.mask_ratio * n_space)
-    num_visible = (n_space - n_masked_space) * t_sheets
-    n_masked = model_cfg.seq_len - num_visible
+    if mask_cfg.sampler == "tube":
+        n_masked_space = int(mask_cfg.mask_ratio * n_space)
+        n_masked = n_masked_space * t_sheets
+    else:  # random: counts over the whole token grid (masks/tube.py)
+        n_masked = int(mask_cfg.mask_ratio * model_cfg.seq_len)
+    num_visible = model_cfg.seq_len - n_masked
+
+    def local_masks(mask_rng, b_local):
+        """This data-shard's ``[b_local, seq_len]`` rows of the global
+        mask — bitwise what the DP step's sampler draws for these rows
+        (same key-split indexing as ``_local_tube_masks``)."""
+        if mask_cfg.sampler == "tube":
+            return _local_tube_masks(
+                mask_rng, b_local, t_sheets, n_space, n_masked_space
+            )
+        d_idx = jax.lax.axis_index(DATA_AXIS)
+        b_global = b_local * jax.lax.axis_size(DATA_AXIS)
+        keys = jax.random.split(mask_rng, b_global)
+        local_keys = jax.lax.dynamic_slice_in_dim(
+            keys, d_idx * b_local, b_local
+        )
+
+        def one(k):
+            perm = jax.random.permutation(k, model_cfg.seq_len)
+            return (
+                jnp.zeros((model_cfg.seq_len,), jnp.bool_)
+                .at[perm[:n_masked]].set(True)
+            )
+
+        return jax.vmap(one)(local_keys)
     enc_table, dec_table = pos_tables(model_cfg)
     M = num_microbatches
 
@@ -314,9 +345,7 @@ def make_pipe_videomae_train_step(
     def local_loss_grads(params, mask_rng, video_local):
         video = normalize_on_device(video_local)
         b_local = video.shape[0]
-        mask = _local_tube_masks(
-            mask_rng, b_local, t_sheets, n_space, n_masked_space
-        )
+        mask = local_masks(mask_rng, b_local)
         visible_idx, masked_idx = mask_partition(mask, num_visible)
         targets = patch_targets(video, model_cfg, masked_idx)
 
@@ -366,9 +395,7 @@ def make_pipe_videomae_train_step(
 
     def local_eval_loss(params, eval_rng, video_local):
         video = normalize_on_device(video_local)
-        mask = _local_tube_masks(
-            eval_rng, video.shape[0], t_sheets, n_space, n_masked_space
-        )
+        mask = local_masks(eval_rng, video.shape[0])
         visible_idx, masked_idx = mask_partition(mask, num_visible)
         targets = patch_targets(video, model_cfg, masked_idx)
         loss_local = local_loss(params, video, visible_idx, masked_idx, targets)

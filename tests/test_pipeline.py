@@ -4,8 +4,8 @@ single-chip / GSPMD paths.
 Beyond-parity capability (like seqpar, SURVEY.md §5's extension points —
 the reference's ViT-B fits one chip and needs no PP): the GPipe
 microbatched step must be the SAME computation as the data-parallel
-step — same tube masks from the same rng, same loss, same updated
-params — with the encoder/decoder block stacks sharded ``P('pipe')``
+step — same masks (tube or random) from the same rng, same loss, same
+updated params — with the encoder/decoder block stacks sharded ``P('pipe')``
 on their depth axis.
 """
 
@@ -205,13 +205,46 @@ class TestPipelineStep:
         m_b = step_b.eval_step(state_b, shard_batch(video, mesh_pp), 3)
         assert float(m_b["loss"]) == pytest.approx(float(m_a["loss"]), abs=2e-5)
 
-    def test_rejects_random_sampler(self):
+    def test_random_sampler_matches_gspmd(self, rng):
+        """The random sampler also has a fixed per-sample masked count, so
+        it pipelines exactly like tube (only seqpar's TIME sharding needs
+        tube's per-sheet invariant)."""
+        cfg = _tiny_cfg()
+        mask_cfg = MaskConfig(sampler="random", mask_ratio=0.5)
+        tx = make_optimizer(OptimConfig(name="sgd", lr=0.1, momentum=0.9))
+        params = videomae.init_params(jax.random.PRNGKey(0), cfg)
+        video = _video(rng)
+
+        mesh_dp = make_mesh()
+        state_a = place_state(
+            TrainState.create(params, tx, jax.random.PRNGKey(7)), mesh_dp
+        )
+        step_a = make_videomae_train_step(mesh_dp, cfg, mask_cfg, tx)
+        state_a, metrics_a = step_a(state_a, shard_batch(video, mesh_dp))
+
+        mesh_pp = make_pipe_mesh(2, 4)
+        state_b = _pipe_state(params, tx, mesh_pp)
+        step_b = make_pipe_videomae_train_step(
+            mesh_pp, cfg, mask_cfg, tx, num_microbatches=2
+        )
+        state_b, metrics_b = step_b(state_b, shard_batch(video, mesh_pp))
+
+        assert float(metrics_b["loss"]) == pytest.approx(
+            float(metrics_a["loss"]), abs=2e-5
+        )
+        for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                          jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-5
+            )
+
+    def test_rejects_unknown_sampler(self):
         cfg = _tiny_cfg()
         mesh = make_pipe_mesh(2, 4)
         tx = make_optimizer(OptimConfig(lr=0.1))
-        with pytest.raises(ValueError, match="tube sampler"):
+        with pytest.raises(ValueError, match="sampler"):
             make_pipe_videomae_train_step(
-                mesh, cfg, MaskConfig(sampler="random", mask_ratio=0.5), tx
+                mesh, cfg, MaskConfig(sampler="block", mask_ratio=0.5), tx
             )
 
     def test_rejects_indivisible_depth(self):
