@@ -23,10 +23,17 @@ wall-clock budget):
    so even a driver timeout mid-secondary still tail-carries the
    flagship.
 3. Secondaries run inside a soft deadline (``BVC_BENCH_DEADLINE_S``
-   from process start, default 1140 s — the flagship alone measures
+   from process start, default 1080 s — the flagship alone measures
    ~957 s of that, dominated by the ~7 min tunnel warmup): each is
-   skipped with a ``#`` note when the remaining budget is below the
-   measured cost of the priciest secondary so far (floor 120 s).
+   skipped with a ``#`` note unless the remaining budget clears the
+   measured cost of the priciest secondary so far (floor 120 s) plus a
+   60 s tail margin.  The driver's wall-clock budget is NOT observable
+   from here; the only calibration points are round records (r3:
+   flagship-only ~957 s → rc 0; r4: secondaries-first → rc 124), so
+   the default deadline hugs the proven-safe envelope — a driver run
+   typically records the flagship plus whatever warmup variance leaves
+   room for, and a manual run can raise the env var to capture
+   everything (``BVC_BENCH_DEADLINE_S=2400 python bench.py``).
    Priority order: bf16 extraction, JEPA, SimCLR; the int8 extraction
    arm is manual-only (``python bench.py int8``) — it duplicates the
    bf16 compile cost for an opt-in path.
@@ -175,11 +182,13 @@ def _run_secondaries(deadline_s: float) -> None:
         ("simclr", bench_families.bench_simclr),
     )
     est = 120.0  # initial per-secondary estimate; updated from measurement
+    margin = 60.0  # tail room so the flagship line lands before any kill
     for name, fn in jobs:
         remaining = deadline_s - (time.perf_counter() - _T_START)
-        if remaining < est:
+        if remaining < est + margin:
             print(f"# skipping {name} bench: {remaining:.0f}s of budget "
-                  f"left < {est:.0f}s estimated cost", flush=True)
+                  f"left < {est:.0f}s estimated cost + {margin:.0f}s margin",
+                  flush=True)
             continue
         t0 = time.perf_counter()
         try:
@@ -202,7 +211,7 @@ def main():
         record = flagship()
         _guard_flagship(json.dumps(record))
         try:
-            deadline_s = float(os.environ.get("BVC_BENCH_DEADLINE_S", "1140"))
+            deadline_s = float(os.environ.get("BVC_BENCH_DEADLINE_S", "1080"))
             _run_secondaries(deadline_s)
         finally:
             _emit_flagship()
